@@ -1,0 +1,185 @@
+"""Tests for FASTA/MAF/delta format IO."""
+import io
+import os
+
+import pytest
+
+from paramugsy_tpu.coords.range import FORWARD, REVERSE, Range
+from paramugsy_tpu.formats.fasta import (
+    normalize_header,
+    read_fasta,
+    rewrite_fasta,
+    species_of_path,
+    write_fasta,
+)
+from paramugsy_tpu.formats.maf import (
+    MafBlock,
+    MafSequence,
+    fasta_to_maf,
+    maf_to_xmfa,
+    read_maf,
+    write_maf,
+)
+from paramugsy_tpu.formats.delta import (
+    DeltaEntry,
+    DeltaWriter,
+    gaps_of_offsets,
+    offsets_of_gaps,
+    read_delta,
+)
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+class TestFasta:
+    def test_round_trip(self, tmp_path):
+        p = tmp_path / "x.fasta"
+        with open(p, "w") as f:
+            write_fasta(f, [("a", "ACGT" * 30), ("b", "TTTT")], width=50)
+        recs = list(read_fasta(str(p)))
+        assert recs == [("a", "ACGT" * 30), ("b", "TTTT")]
+
+    def test_species_of_path(self):
+        assert species_of_path("/x/y/e-coli.k12.fasta") == "e_coli"
+        assert species_of_path("strep") == "strep"
+
+    def test_normalize_ncbi(self):
+        assert normalize_header("gi|123|ref|NC_000913.3|", "ecoli") == "ecoli.NC_000913"
+
+    def test_normalize_species_colon(self):
+        assert normalize_header("strep:chr1", "ignored") == "strep.chr1"
+
+    def test_normalize_plain(self):
+        assert normalize_header("contig 1.5-x", "sp") == "sp.contig_1_5_x"
+
+    def test_rewrite_fasta(self, tmp_path):
+        src = tmp_path / "mygenome.fa"
+        src.write_text(">gi|1|ref|ACC.2|\nACGT\n>plain one\nGGGG\n")
+        out = tmp_path / "out.fa"
+        names = rewrite_fasta(str(src), str(out))
+        assert names == ["mygenome.ACC", "mygenome.plain_one"]
+        assert list(read_fasta(str(out))) == [
+            ("mygenome.ACC", "ACGT"),
+            ("mygenome.plain_one", "GGGG"),
+        ]
+
+
+class TestMaf:
+    def test_read_fixture(self):
+        blocks = list(read_maf(os.path.join(DATA, "highly_stitchable.maf")))
+        assert len(blocks) == 8
+        b0 = blocks[0]
+        assert b0.score == 99999
+        assert b0.attrs == {"label": "1", "mult": "4"}
+        assert [s.name for s in b0.seqs] == ["A", "B", "C", "D"]
+        assert b0.seqs[0].start == 0 and b0.seqs[0].size == 20
+        # block 6 has the reverse-strand B row
+        b6 = blocks[6]
+        brow = [s for s in b6.seqs if s.name == "B"][0]
+        assert brow.strand == REVERSE
+        assert brow.range() == Range(80, 61)
+        assert brow.forward_interval() == (60, 79)
+
+    def test_round_trip(self, tmp_path):
+        src = os.path.join(DATA, "highly_stitchable.maf")
+        blocks = list(read_maf(src))
+        out = tmp_path / "rt.maf"
+        write_maf(str(out), blocks)
+        blocks2 = list(read_maf(str(out)))
+        assert blocks == blocks2
+        # Byte-identity with the fixture (modulo trailing whitespace).
+        orig = [l.rstrip() for l in open(src) if l.strip()]
+        ours = [l.rstrip() for l in open(out) if l.strip()]
+        assert orig == ours
+
+    def test_maf_to_xmfa(self, tmp_path):
+        buf = io.StringIO()
+        maf_to_xmfa(os.path.join(DATA, "highly_stitchable.maf"), buf)
+        lines = buf.getvalue().splitlines()
+        assert lines[0] == ">A 0 20 + 100"
+        assert lines[1] == "N" * 20
+        assert lines.count("=") == 8
+
+    def test_fasta_to_maf(self, tmp_path):
+        fa = tmp_path / "g.fa"
+        fa.write_text(">g.c1\nACGTACGT\n")
+        buf = io.StringIO()
+        fasta_to_maf(str(fa), buf)
+        blocks = list(read_maf(io.StringIO(buf.getvalue())))
+        assert len(blocks) == 1
+        s = blocks[0].seqs[0]
+        assert (s.name, s.start, s.size, s.src_size, s.text) == ("g.c1", 0, 8, 8, "ACGTACGT")
+
+
+class TestDelta:
+    def test_gaps_of_offsets(self):
+        # Example: ref gap at gapped pos 3, then query gaps at 7,8.
+        # offsets: -3 (pos 3, ref), 4 (pos 7, query), 1 (pos 8, query), 0
+        ref_gaps, query_gaps = gaps_of_offsets([-3, 4, 1])
+        assert ref_gaps == [Range(3, 3)]
+        assert query_gaps == [Range(7, 8)]
+
+    def test_offsets_round_trip(self):
+        cases = [
+            [-3, 4, 1],
+            [5, 1, 1, -10, -1],
+            [],
+            [-1, -1, -1],
+            [2, -3, 2, -3],
+        ]
+        for offs in cases:
+            rg, qg = gaps_of_offsets(offs)
+            assert offsets_of_gaps(rg, qg) == offs + [0]
+
+    def mk_entry(self):
+        return DeltaEntry(
+            ref_name="r", query_name="q", ref_len=1000, query_len=900,
+            ref_range=Range(11, 20), query_range=Range(101, 112),
+            ref_gaps=[Range(3, 4)], query_gaps=[],
+        )
+
+    def test_alignment_length(self):
+        de = self.mk_entry()
+        assert de.alignment_length() == 12
+        assert de.query_profile().length == 12
+
+    def test_reverse_involution(self):
+        de = self.mk_entry()
+        rev = de.reverse()
+        assert rev.ref_range == Range(20, 11)
+        assert rev.query_range == Range(112, 101)
+        # gap (3,4) in length-12 alignment mirrors to (9, 10)
+        assert rev.ref_gaps == [Range(9, 10)]
+        back = rev.reverse()
+        assert back.ref_range == de.ref_range
+        assert back.ref_gaps == de.ref_gaps
+        assert back.query_gaps == de.query_gaps
+
+    def test_file_round_trip(self, tmp_path):
+        de1 = self.mk_entry()
+        de2 = DeltaEntry(
+            ref_name="r", query_name="q2", ref_len=1000, query_len=500,
+            ref_range=Range(50, 40), query_range=Range(1, 11),
+            ref_gaps=[], query_gaps=[Range(5, 5)], errors=(7, 8, 9),
+        )
+        path = tmp_path / "t.delta"
+        with open(path, "w") as f:
+            w = DeltaWriter(f, "ref.fa", "q.fa")
+            w.write(de1)
+            w.write(de2)
+        entries = list(read_delta(str(path)))
+        assert len(entries) == 2
+        assert entries[0].ref_range == de1.ref_range
+        assert entries[0].ref_gaps == de1.ref_gaps
+        assert entries[0].query_gaps == de1.query_gaps
+        assert entries[1].query_name == "q2"
+        assert entries[1].query_gaps == [Range(5, 5)]
+        assert entries[1].errors == (7, 8, 9)
+
+    def test_header_dedup(self, tmp_path):
+        de = self.mk_entry()
+        buf = io.StringIO()
+        w = DeltaWriter(buf, "a", "b")
+        w.write(de)
+        w.write(de)
+        assert buf.getvalue().count(">r q") == 1
