@@ -1,0 +1,229 @@
+"""Pairwise genome alignment pipeline (the ``mugsy_nucmer`` role).
+
+ref/query sequence -> seeds (device sort-join) -> clusters (device band
+clustering) -> chains (host O(C^2) DP) -> inter-anchor gap alignment
+(batched NW) -> delta entries, both strands.
+
+Replaces the external ``nucmer | delta-filter | delta2maf`` pipeline of the
+reference (lib/nucmer/mugsy_nucmer.ml:96-124) with on-device compute; the
+1-to-1 filtering of ``delta-filter -1`` is `filter_one_to_one`.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from paramugsy_tpu.coords.range import Range
+from paramugsy_tpu.formats.delta import DeltaEntry
+from paramugsy_tpu.ops.chaining import chain_clusters, cluster_seeds
+from paramugsy_tpu.ops.encode import encode, revcomp_codes
+from paramugsy_tpu.ops.extend import Scoring, align_segments
+from paramugsy_tpu.ops.seeding import find_seeds
+
+
+@dataclass
+class AlignConfig:
+    k: int = 16
+    min_match: int = 20  # nucmer -l
+    max_gap: int = 90  # nucmer -g
+    band: int = 16
+    min_cluster: int = 65  # nucmer -c
+    break_len: int = 200  # nucmer -b
+    max_seeds: int = 1 << 16
+    max_clusters: int = 4096
+    unique_in_query: bool = False  # nucmer --mum vs --mumreference
+    scoring: Scoring = field(default_factory=Scoring)
+
+
+@dataclass
+class RawChain:
+    """A chained set of anchors in (0-based, strand-local) coordinates."""
+
+    seeds: np.ndarray  # [n, 3] rpos, qpos, len; sorted, non-overlapping
+    reverse: bool
+
+
+def _chain_seeds_for_strand(ref_codes, q_codes, cfg: AlignConfig, reverse: bool):
+    seeds = find_seeds(
+        ref_codes,
+        q_codes,
+        k=cfg.k,
+        max_seeds=cfg.max_seeds,
+        unique_in_query=cfg.unique_in_query,
+    )
+    keep = seeds.mask & (seeds.length >= cfg.min_match)
+    cl = cluster_seeds(
+        seeds.rpos,
+        seeds.qpos,
+        seeds.length,
+        keep,
+        band=cfg.band,
+        max_gap=cfg.max_gap,
+        max_clusters=cfg.max_clusters,
+    )
+    n_cl = int(cl.n_clusters)
+    cmask = np.array(cl.c_mask)
+    cmask[n_cl:] = False
+    idx = np.flatnonzero(cmask)
+    chains_ids = chain_clusters(
+        np.array(cl.c_rstart)[idx],
+        np.array(cl.c_rend)[idx],
+        np.array(cl.c_qstart)[idx],
+        np.array(cl.c_qend)[idx],
+        np.array(cl.c_weight)[idx],
+        max_join_gap=cfg.break_len,
+        min_chain_weight=cfg.min_cluster,
+    )
+    s_rpos = np.array(cl.seed_rpos)
+    s_qpos = np.array(cl.seed_qpos)
+    s_len = np.array(cl.seed_len)
+    s_cid = np.array(cl.seed_cluster)
+
+    out: list[RawChain] = []
+    for chain in chains_ids:
+        cids = {int(idx[c]) for c in chain}
+        sel = np.isin(s_cid, list(cids))
+        rp, qp, ln = s_rpos[sel], s_qpos[sel], s_len[sel]
+        order = np.lexsort((rp, qp))
+        rp, qp, ln = rp[order], qp[order], ln[order]
+        # Monotone + overlap trimming.
+        rows = []
+        prev_r, prev_q = -1, -1
+        for r, q, l in zip(rp, qp, ln):
+            trim = max(prev_r - r + 1, prev_q - q + 1, 0)
+            r, q, l = r + trim, q + trim, l - trim
+            if l <= 0:
+                continue
+            rows.append((int(r), int(q), int(l)))
+            prev_r, prev_q = r + l - 1, q + l - 1
+        if rows:
+            out.append(RawChain(seeds=np.array(rows, dtype=np.int64), reverse=reverse))
+    return out
+
+
+def _entries_of_chain(
+    chain: RawChain,
+    ref_np: np.ndarray,
+    query_np: np.ndarray,  # strand-local codes (revcomp'd when reverse)
+    ref_name: str,
+    query_name: str,
+    n_q: int,
+    cfg: AlignConfig,
+) -> list[DeltaEntry]:
+    """Assemble delta entries from a chain, aligning inter-anchor gaps."""
+    seeds = chain.seeds
+    # Split chain where gaps exceed break_len.
+    parts: list[list[int]] = [[0]]
+    for i in range(1, len(seeds)):
+        pr = seeds[i - 1][0] + seeds[i - 1][2] - 1
+        pq = seeds[i - 1][1] + seeds[i - 1][2] - 1
+        gap_r = seeds[i][0] - pr - 1
+        gap_q = seeds[i][1] - pq - 1
+        if max(gap_r, gap_q) > cfg.break_len:
+            parts.append([i])
+        else:
+            parts[-1].append(i)
+
+    # Collect all inter-seed segments for batched alignment.
+    seg_reqs: list[tuple[np.ndarray, np.ndarray]] = []
+    seg_map: dict[tuple[int, int], int] = {}
+    for pi, part in enumerate(parts):
+        for i in range(1, len(part)):
+            a, b = seeds[part[i - 1]], seeds[part[i]]
+            r0, q0 = a[0] + a[2], a[1] + a[2]
+            seg_map[(pi, i)] = len(seg_reqs)
+            seg_reqs.append((ref_np[r0 : b[0]], query_np[q0 : b[1]]))
+    seg_results = align_segments(seg_reqs, cfg.scoring)
+
+    entries: list[DeltaEntry] = []
+    for pi, part in enumerate(parts):
+        first, last = seeds[part[0]], seeds[part[-1]]
+        ref_gaps: list[Range] = []
+        query_gaps: list[Range] = []
+        col = 0  # columns emitted so far
+        col_err = 0
+        for i, si in enumerate(part):
+            if i > 0:
+                rg, qg, n = seg_results[seg_map[(pi, i)]]
+                ref_gaps.extend(Range(g.start + col, g.end + col) for g in rg)
+                query_gaps.extend(Range(g.start + col, g.end + col) for g in qg)
+                col += n
+            col += int(seeds[si][2])
+        rs, re_ = int(first[0]), int(last[0] + last[2] - 1)
+        qs, qe = int(first[1]), int(last[1] + last[2] - 1)
+        if chain.reverse:
+            # strand-local rc coords -> forward 1-indexed, reversed range
+            q_range = Range(n_q - qs, n_q - qe)
+        else:
+            q_range = Range(qs + 1, qe + 1)
+        entries.append(
+            DeltaEntry(
+                ref_name=ref_name,
+                query_name=query_name,
+                ref_len=len(ref_np),
+                query_len=n_q,
+                ref_range=Range(rs + 1, re_ + 1),
+                query_range=q_range,
+                ref_gaps=ref_gaps,
+                query_gaps=query_gaps,
+            )
+        )
+    return entries
+
+
+def align_pair(
+    ref_seq: str | np.ndarray,
+    query_seq: str | np.ndarray,
+    ref_name: str = "ref",
+    query_name: str = "query",
+    cfg: AlignConfig | None = None,
+) -> list[DeltaEntry]:
+    """Full pairwise alignment: sequences -> delta entries (both strands)."""
+    cfg = cfg or AlignConfig()
+    ref_np = ref_seq if isinstance(ref_seq, np.ndarray) else encode(ref_seq)
+    query_np = query_seq if isinstance(query_seq, np.ndarray) else encode(query_seq)
+    n_q = len(query_np)
+    ref_d = jnp.asarray(ref_np)
+    query_d = jnp.asarray(query_np)
+    query_rc_d = revcomp_codes(query_d)
+    query_rc_np = np.array(query_rc_d)
+
+    entries: list[DeltaEntry] = []
+    for reverse, qd, qn in ((False, query_d, query_np), (True, query_rc_d, query_rc_np)):
+        for chain in _chain_seeds_for_strand(ref_d, qd, cfg, reverse):
+            entries.extend(
+                _entries_of_chain(
+                    chain, ref_np, qn, ref_name, query_name, n_q, cfg
+                )
+            )
+    entries.sort(key=lambda e: (e.ref_range.abs().start, e.ref_range.abs().end))
+    return entries
+
+
+def filter_one_to_one(entries: list[DeltaEntry]) -> list[DeltaEntry]:
+    """delta-filter -1 role: keep a consistent 1-to-1 set of alignments.
+
+    Weighted interval scheduling on the ref axis, then the query axis —
+    alignments surviving both are the 1-to-1 map (an LIS-flavored
+    approximation of MUMmer's delta-filter).
+    """
+
+    def lis_filter(es: list[DeltaEntry], key) -> list[DeltaEntry]:
+        if not es:
+            return es
+        # Greedy by weight: keep non-overlapping intervals, heaviest first.
+        by_weight = sorted(
+            range(len(es)), key=lambda i: -key(es[i]).length
+        )
+        chosen: list[tuple[int, int, int]] = []
+        for i in by_weight:
+            r = key(es[i]).abs()
+            if all(r.end < s or r.start > e for s, e, _ in chosen):
+                chosen.append((r.start, r.end, i))
+        return [es[i] for _, _, i in sorted(chosen)]
+
+    es = lis_filter(entries, lambda e: e.ref_range)
+    es = lis_filter(es, lambda e: e.query_range)
+    return sorted(es, key=lambda e: e.ref_range.abs().start)

@@ -1,0 +1,174 @@
+"""Inter-anchor gap alignment (the nucmer extension role).
+
+Global (Needleman-Wunsch) alignment of the short ref/query segments between
+chained anchors, batched over all segments of all chains.  Scores use the
+cummax formulation: within a row,
+
+    dp[j] = GAP*j + running_max(cand[k] - GAP*k)  for k <= j
+
+which turns the row's sequential left-gap dependency into a prefix scan —
+the same formulation the Pallas wavefront kernel uses on TPU.
+
+This module provides the NumPy reference implementation (used on host for
+small segments and in tests); `paramugsy_tpu.ops.pallas_extend` provides the
+TPU kernel for the hot path.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from paramugsy_tpu.coords.range import Range
+
+NEG = np.int32(-(10**8))
+
+DIAG, UP, LEFT = 0, 1, 2  # UP consumes ref (gap in query), LEFT consumes query
+
+
+@dataclass
+class Scoring:
+    match: int = 2
+    mismatch: int = -3
+    gap: int = -4
+
+
+def nw_align_batch(
+    a: np.ndarray, a_len: np.ndarray, b: np.ndarray, b_len: np.ndarray,
+    scoring: Scoring = Scoring(),
+):
+    """Batched global alignment.
+
+    a, b: [B, S] int8 code arrays (ref, query segments), padded.
+    Returns (dirs [B, S+1, S+1] uint8, score [B]).
+    """
+    B, S = a.shape
+    GAP = scoring.gap
+    dp_prev = np.tile((np.arange(S + 1) * GAP).astype(np.int32), (B, 1))
+    dirs = np.zeros((B, S + 1, S + 1), dtype=np.uint8)
+    dirs[:, 0, 1:] = LEFT
+    j_idx = np.arange(S + 1, dtype=np.int32)
+    gap_j = (GAP * j_idx).astype(np.int32)
+
+    for i in range(1, S + 1):
+        sub = np.where(a[:, i - 1 : i] == b, scoring.match, scoring.mismatch)
+        # mask out padded query columns (j-1 >= b_len) handled by final readout
+        diag = dp_prev[:, :-1] + sub  # j = 1..S
+        up = dp_prev[:, 1:] + GAP
+        cand = np.maximum(diag, up)
+        u = np.empty((B, S + 1), dtype=np.int32)
+        u[:, 0] = np.int32(GAP * i)
+        u[:, 1:] = cand - gap_j[1:]
+        run = np.maximum.accumulate(u, axis=1)
+        dp_cur = run + gap_j
+        d = np.full((B, S + 1), LEFT, dtype=np.uint8)
+        d[:, 0] = UP
+        is_up = dp_cur[:, 1:] == up
+        is_diag = dp_cur[:, 1:] == diag
+        d[:, 1:][is_up] = UP
+        d[:, 1:][is_diag] = DIAG  # prefer diag on ties
+        dirs[:, i] = d
+        dp_prev = dp_cur
+
+    score = dp_prev[np.arange(B), b_len]  # only valid when a_len == S; fix below
+    return dirs, score
+
+
+def traceback_gaps(dirs_i: np.ndarray, a_len: int, b_len: int):
+    """Walk one direction matrix back from (a_len, b_len).
+
+    Returns (ref_gap_runs, query_gap_runs, n_columns): 1-indexed runs in
+    alignment-column space, plus total columns.
+    """
+    i, j = a_len, b_len
+    cols: list[int] = []  # 0=match col, 1=ref gap (LEFT), 2=query gap (UP)
+    while i > 0 or j > 0:
+        if i == 0:
+            d = LEFT
+        elif j == 0:
+            d = UP
+        else:
+            d = dirs_i[i, j]
+        if d == DIAG:
+            cols.append(0)
+            i -= 1
+            j -= 1
+        elif d == UP:
+            cols.append(2)
+            i -= 1
+        else:
+            cols.append(1)
+            j -= 1
+    cols.reverse()
+    n = len(cols)
+    ref_runs: list[Range] = []
+    query_runs: list[Range] = []
+    start = None
+    kind = 0
+    for idx, c in enumerate(cols + [0]):
+        if c != kind:
+            if kind == 1:
+                ref_runs.append(Range(start + 1, idx))
+            elif kind == 2:
+                query_runs.append(Range(start + 1, idx))
+            if c != 0:
+                start = idx
+            kind = c
+    return ref_runs, query_runs, n
+
+
+def align_segments(
+    segs: list[tuple[np.ndarray, np.ndarray]], scoring: Scoring = Scoring()
+):
+    """Align a list of (ref_codes, query_codes) segment pairs.
+
+    Returns per segment (ref_gap_runs, query_gap_runs, n_columns).  Segments
+    are bucketed by max length to keep padding waste bounded.
+    """
+    results: list = [None] * len(segs)
+    if not segs:
+        return results
+    order = sorted(range(len(segs)), key=lambda i: max(len(segs[i][0]), len(segs[i][1])))
+    # Degenerate cases (one side empty) need no DP.
+    batch: list[int] = []
+    for i in order:
+        a, b = segs[i]
+        if len(a) == 0 and len(b) == 0:
+            results[i] = ([], [], 0)
+        elif len(a) == 0:
+            results[i] = ([Range(1, len(b))], [], len(b))
+        elif len(b) == 0:
+            results[i] = ([], [Range(1, len(a))], len(a))
+        else:
+            batch.append(i)
+    # Bucketed batches.
+    BUCKETS = (16, 64, 256, 1024, 4096)
+    for bucket in BUCKETS:
+        idxs = [
+            i for i in batch
+            if max(len(segs[i][0]), len(segs[i][1])) <= bucket
+            and results[i] is None
+        ]
+        if not idxs:
+            continue
+        B = len(idxs)
+        a = np.full((B, bucket), 4, dtype=np.int8)
+        b = np.full((B, bucket), 4, dtype=np.int8)
+        a_len = np.zeros(B, dtype=np.int32)
+        b_len = np.zeros(B, dtype=np.int32)
+        for bi, i in enumerate(idxs):
+            ra, rb = segs[i]
+            a[bi, : len(ra)] = ra
+            b[bi, : len(rb)] = rb
+            a_len[bi] = len(ra)
+            b_len[bi] = len(rb)
+        dirs, _ = nw_align_batch(a, a_len, b, b_len, scoring)
+        for bi, i in enumerate(idxs):
+            results[i] = traceback_gaps(dirs[bi], int(a_len[bi]), int(b_len[bi]))
+    for i, r in enumerate(results):
+        if r is None:
+            a, b = segs[i]
+            raise ValueError(
+                f"segment too large to align: {len(a)}x{len(b)} (cap {BUCKETS[-1]})"
+            )
+    return results

@@ -1,0 +1,176 @@
+"""Exact-match seeding on device (the nucmer MUM-seeding role).
+
+Replaces the external suffix-tree ``nucmer`` seeder with a sort-join over
+packed k-mers, built entirely from TPU-friendly primitives: one
+``lax.sort`` over the concatenated k-mer streams, then segment reductions
+expressed as cumulative sums/maxes over the sorted order (no scatters, no
+data-dependent shapes).  Matches are then merged along diagonals into
+maximal runs (a run of m consecutive matching k-mers is an exact match of
+length m+k-1), reproducing nucmer's seed set semantics:
+
+* ``mumreference`` (nucmer default, used by the reference pipeline via
+  plain ``nucmer``: lib/nucmer/mugsy_nucmer.ml:96-116): seeds unique in the
+  reference;
+* ``mum``: unique in both genomes.
+
+All outputs are fixed-size arrays with validity masks; overflow is reported
+via counts so callers can re-bucket.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from paramugsy_tpu.ops.encode import kmer_codes
+
+BIG = jnp.int32(2**31 - 1)
+
+
+class SeedMatches(NamedTuple):
+    """Maximal exact matches (device arrays, fixed size, masked)."""
+
+    rpos: jnp.ndarray  # int32 [M] 0-based ref start
+    qpos: jnp.ndarray  # int32 [M] 0-based query start
+    length: jnp.ndarray  # int32 [M] match length in bases
+    mask: jnp.ndarray  # bool  [M]
+    n_raw: jnp.ndarray  # int32 [] raw unique-kmer matches before merging
+    n_runs: jnp.ndarray  # int32 [] merged runs (may exceed M: overflow)
+
+
+def _suffix_min(x):
+    return lax.cummin(x, axis=0, reverse=True)
+
+
+def _prefix_max(x):
+    return lax.cummax(x, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_seeds", "unique_in_query"))
+def find_seeds(
+    ref_codes,
+    query_codes,
+    *,
+    k: int = 16,
+    max_seeds: int = 1 << 16,
+    unique_in_query: bool = False,
+) -> SeedMatches:
+    """Find maximal unique exact matches between two code tensors."""
+    rk, rvalid = kmer_codes(ref_codes, k)
+    qk, qvalid = kmer_codes(query_codes, k)
+    n_r, n_q = rk.shape[0], qk.shape[0]
+    n = n_r + n_q
+
+    codes = jnp.concatenate([rk, qk])
+    invalid = jnp.concatenate([~rvalid, ~qvalid]).astype(jnp.int32)
+    is_ref = jnp.concatenate(
+        [jnp.ones(n_r, jnp.int32), jnp.zeros(n_q, jnp.int32)]
+    )
+    pos = jnp.concatenate(
+        [jnp.arange(n_r, dtype=jnp.int32), jnp.arange(n_q, dtype=jnp.int32)]
+    )
+
+    # One big sort: (validity, code) keys; carry ownership + position.
+    invalid, codes, is_ref, pos = lax.sort(
+        (invalid, codes, is_ref, pos), num_keys=2
+    )
+    valid = invalid == 0
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    prev_code = jnp.roll(codes, 1)
+    is_start = valid & ((codes != prev_code) | (idx == 0))
+
+    # Segment bounds via prefix-max / suffix-min of start indices.
+    seg_start = _prefix_max(jnp.where(is_start, idx, -1))
+    nxt = jnp.where(is_start, idx, BIG)
+    nxt_after = jnp.concatenate([_suffix_min(nxt)[1:], jnp.array([BIG])])
+    seg_end = jnp.minimum(nxt_after - 1, n - 1)
+
+    # Segment-level ref/query counts + the (single) ref position, via cumsums.
+    ref_in = (is_ref == 1) & valid
+    cum_ref = jnp.cumsum(ref_in.astype(jnp.int32))
+    # int32 cumsum may wrap, but two's-complement differences recover any
+    # segment sum that itself fits in int32 (single positions always do).
+    cum_refpos = jnp.cumsum(jnp.where(ref_in, pos, 0).astype(jnp.int32))
+    query_in = (is_ref == 0) & valid
+    cum_query = jnp.cumsum(query_in.astype(jnp.int32))
+
+    def seg_sum(cum, lo, hi):
+        lo_v = jnp.where(lo > 0, cum[jnp.maximum(lo - 1, 0)], 0)
+        return cum[hi] - lo_v
+
+    ref_count = seg_sum(cum_ref, seg_start, seg_end)
+    query_count = seg_sum(cum_query, seg_start, seg_end)
+    ref_pos_sum = seg_sum(cum_refpos, seg_start, seg_end)
+
+    is_match = valid & query_in & (ref_count == 1)
+    if unique_in_query:
+        is_match = is_match & (query_count == 1)
+
+    rpos = ref_pos_sum.astype(jnp.int32)
+    qpos = pos
+    n_raw = jnp.sum(is_match.astype(jnp.int32))
+
+    # Compact matches sorted by (diagonal, position) for run merging.
+    # On one diagonal rpos and qpos advance together, so rpos ordering is
+    # qpos ordering.
+    diag = rpos - qpos
+    sort_key = jnp.where(is_match, 0, 1).astype(jnp.int32)
+    _, diag_s, rpos_sorted, qpos_sorted, match_s = lax.sort(
+        (sort_key, diag, rpos, qpos, is_match.astype(jnp.int32)),
+        num_keys=3,
+    )
+    m = max_seeds
+    nc = min(m * 4, n)
+    diag_c = lax.dynamic_slice_in_dim(diag_s, 0, nc)
+    rpos_c = lax.dynamic_slice_in_dim(rpos_sorted, 0, nc)
+    qpos_c = lax.dynamic_slice_in_dim(qpos_sorted, 0, nc)
+    mask_c = lax.dynamic_slice_in_dim(match_s, 0, nc) == 1
+    cidx = jnp.arange(nc, dtype=jnp.int32)
+
+    # Runs of consecutive k-mers on one diagonal.
+    prev_mask = jnp.roll(mask_c, 1).at[0].set(False)
+    run_start = mask_c & (
+        ~prev_mask
+        | (diag_c != jnp.roll(diag_c, 1))
+        | (qpos_c != jnp.roll(qpos_c, 1) + 1)
+    )
+    next_continues = (
+        jnp.roll(mask_c, -1)
+        & (jnp.roll(diag_c, -1) == diag_c)
+        & (jnp.roll(qpos_c, -1) == qpos_c + 1)
+    )
+    is_run_end = mask_c & ((cidx == nc - 1) | ~next_continues)
+    run_start_idx = _prefix_max(jnp.where(run_start, cidx, -1))
+    run_len_kmers = cidx - run_start_idx + 1
+    run_rpos = rpos_c[jnp.maximum(run_start_idx, 0)]
+    run_qpos = qpos_c[jnp.maximum(run_start_idx, 0)]
+
+    n_runs = jnp.sum(is_run_end.astype(jnp.int32))
+
+    # Final compaction to max_seeds entries, keeping (diag, qpos) order.
+    out_key = jnp.where(is_run_end, 0, 1).astype(jnp.int32)
+    _, o_rpos, o_qpos, o_len, o_mask = lax.sort(
+        (
+            out_key,
+            run_rpos,
+            run_qpos,
+            run_len_kmers + (k - 1),
+            is_run_end.astype(jnp.int32),
+        ),
+        num_keys=1,
+        is_stable=True,
+    )
+    take = min(m, nc)
+    out = SeedMatches(
+        rpos=lax.dynamic_slice_in_dim(o_rpos, 0, take),
+        qpos=lax.dynamic_slice_in_dim(o_qpos, 0, take),
+        length=lax.dynamic_slice_in_dim(o_len, 0, take),
+        mask=lax.dynamic_slice_in_dim(o_mask, 0, take) == 1,
+        n_raw=n_raw,
+        n_runs=n_runs,
+    )
+    return out

@@ -1,0 +1,253 @@
+"""Tests for the on-device alignment ops (encode/seeding/chaining/extend)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from paramugsy_tpu.ops.encode import (
+    bucket_size,
+    decode,
+    encode,
+    kmer_codes,
+    pad_to,
+    revcomp_codes,
+)
+from paramugsy_tpu.ops.seeding import find_seeds
+from paramugsy_tpu.ops.chaining import chain_clusters, cluster_seeds
+from paramugsy_tpu.ops.extend import (
+    Scoring,
+    align_segments,
+    nw_align_batch,
+    traceback_gaps,
+)
+from paramugsy_tpu.ops.align_pair import AlignConfig, align_pair, filter_one_to_one
+from tests.util import check_delta_valid, entry_identity
+
+_COMP = str.maketrans("ACGT", "TGCA")
+
+
+def rand_dna(rng, n):
+    return "".join(np.array(list("ACGT"))[rng.integers(4, size=n)])
+
+
+class TestEncode:
+    def test_round_trip(self):
+        s = "ACGTNacgtn"
+        assert decode(encode(s)) == "ACGTNACGTN"
+
+    def test_revcomp(self):
+        s = "AACGTN"
+        rc = decode(np.array(revcomp_codes(jnp.array(encode(s)))))
+        assert rc == "NACGTT"
+
+    def test_pad_bucket(self):
+        assert bucket_size(5000) == 8192
+        assert len(pad_to(encode("ACGT"), 16)) == 16
+
+    def test_kmer_codes_brute(self):
+        rng = np.random.default_rng(3)
+        s = rand_dna(rng, 50)
+        s = s[:20] + "N" + s[21:]
+        codes = encode(s)
+        k = 5
+        km, valid = kmer_codes(jnp.array(codes), k)
+        km, valid = np.array(km), np.array(valid)
+        for i in range(len(s)):
+            window = s[i : i + k]
+            expect_valid = len(window) == k and "N" not in window
+            assert valid[i] == expect_valid
+            if expect_valid:
+                code = 0
+                for c in window:
+                    code = (code << 2) | "ACGT".index(c)
+                assert km[i] == code
+
+
+def brute_unique_matches(ref, query, k):
+    """All (rpos, qpos) where a ref-unique k-mer matches."""
+    from collections import Counter, defaultdict
+
+    rc = Counter(ref[i : i + k] for i in range(len(ref) - k + 1))
+    rpos = {ref[i : i + k]: i for i in range(len(ref) - k + 1)}
+    out = set()
+    for j in range(len(query) - k + 1):
+        w = query[j : j + k]
+        if "N" not in w and rc.get(w) == 1:
+            out.add((rpos[w], j))
+    return out
+
+
+class TestSeeding:
+    def test_planted_match(self):
+        rng = np.random.default_rng(0)
+        ref = rand_dna(rng, 300)
+        query = rand_dna(rng, 40) + ref[100:200] + rand_dna(rng, 40)
+        out = find_seeds(jnp.array(encode(ref)), jnp.array(encode(query)), k=16, max_seeds=128)
+        m = np.array(out.mask)
+        rp, qp, ln = np.array(out.rpos)[m], np.array(out.qpos)[m], np.array(out.length)[m]
+        found = {(int(r), int(q), int(l)) for r, q, l in zip(rp, qp, ln)}
+        assert (100, 40, 100) in found
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_matches_brute_force(self, seed):
+        rng = np.random.default_rng(seed)
+        k = 8
+        ref = rand_dna(rng, 150)
+        query = rand_dna(rng, 60) + ref[30:80] + rand_dna(rng, 20)
+        out = find_seeds(jnp.array(encode(ref)), jnp.array(encode(query)), k=k, max_seeds=512)
+        m = np.array(out.mask)
+        # expand merged runs back to raw kmer matches
+        got = set()
+        for r, q, l in zip(np.array(out.rpos)[m], np.array(out.qpos)[m], np.array(out.length)[m]):
+            for off in range(int(l) - k + 1):
+                got.add((int(r) + off, int(q) + off))
+        expect = brute_unique_matches(ref, query, k)
+        assert got == expect
+
+    def test_exactness(self):
+        rng = np.random.default_rng(9)
+        ref = rand_dna(rng, 400)
+        query = rand_dna(rng, 50) + ref[100:220] + rand_dna(rng, 50)
+        out = find_seeds(jnp.array(encode(ref)), jnp.array(encode(query)), k=16, max_seeds=256)
+        m = np.array(out.mask)
+        for r, q, l in zip(np.array(out.rpos)[m], np.array(out.qpos)[m], np.array(out.length)[m]):
+            assert ref[r : r + l] == query[q : q + l]
+
+
+class TestClusterChain:
+    def test_cluster_two_diagonals(self):
+        # seeds on two far-apart diagonals -> two clusters
+        rpos = jnp.array([10, 40, 70, 500, 530], dtype=jnp.int32)
+        qpos = jnp.array([10, 40, 70, 100, 130], dtype=jnp.int32)
+        length = jnp.array([20, 20, 20, 20, 20], dtype=jnp.int32)
+        mask = jnp.ones(5, dtype=bool)
+        cl = cluster_seeds(rpos, qpos, length, mask, band=16, max_gap=90, max_clusters=8)
+        n = int(cl.n_clusters)
+        assert n == 2
+        cm = np.array(cl.c_mask)
+        w = np.array(cl.c_weight)[cm][:n]
+        assert sorted(w.tolist()) == [40, 60]
+
+    def test_chain_clusters_joins(self):
+        # two clusters on nearly the same diagonal, small gap -> one chain
+        chains = chain_clusters(
+            np.array([0, 100]), np.array([89, 189]),
+            np.array([0, 102]), np.array([89, 191]),
+            np.array([90, 90]),
+        )
+        assert chains == [[0, 1]]
+
+    def test_chain_clusters_break(self):
+        chains = chain_clusters(
+            np.array([0, 10000]), np.array([89, 10089]),
+            np.array([0, 102]), np.array([89, 191]),
+            np.array([90, 90]),
+        )
+        assert sorted(chains) == [[0], [1]]
+
+
+def brute_nw(a, b, scoring=Scoring()):
+    n, m = len(a), len(b)
+    dp = np.zeros((n + 1, m + 1), dtype=np.int64)
+    dp[0, :] = np.arange(m + 1) * scoring.gap
+    dp[:, 0] = np.arange(n + 1) * scoring.gap
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            s = scoring.match if a[i - 1] == b[j - 1] else scoring.mismatch
+            dp[i, j] = max(dp[i - 1, j - 1] + s, dp[i - 1, j] + scoring.gap, dp[i, j - 1] + scoring.gap)
+    return dp[n, m]
+
+
+class TestExtend:
+    @pytest.mark.parametrize("seed", range(5))
+    def test_optimal_score(self, seed):
+        rng = np.random.default_rng(seed)
+        a = encode(rand_dna(rng, int(rng.integers(3, 14))))
+        b = encode(rand_dna(rng, int(rng.integers(3, 14))))
+        S = 16
+        A = np.full((1, S), 4, np.int8); A[0, : len(a)] = a
+        Bm = np.full((1, S), 4, np.int8); Bm[0, : len(b)] = b
+        dirs, _ = nw_align_batch(A, np.array([len(a)]), Bm, np.array([len(b)]))
+        rg, qg, n = traceback_gaps(dirs[0], len(a), len(b))
+        # path consistency
+        n_ref_gap = sum(g.length for g in rg)
+        n_query_gap = sum(g.length for g in qg)
+        assert n == len(a) + n_ref_gap
+        assert n == len(b) + n_query_gap
+        # score of traced path == optimal score
+        score = 0
+        ri = qi = 0
+        rgm = np.zeros(n, bool)
+        for g in rg: rgm[g.start - 1 : g.end] = True
+        qgm = np.zeros(n, bool)
+        for g in qg: qgm[g.start - 1 : g.end] = True
+        sc = Scoring()
+        for c in range(n):
+            if rgm[c] or qgm[c]:
+                score += sc.gap
+                ri += 0 if rgm[c] else 1
+                qi += 0 if qgm[c] else 1
+            else:
+                score += sc.match if a[ri] == b[qi] else sc.mismatch
+                ri += 1
+                qi += 1
+        assert score == brute_nw(a, b)
+
+    def test_align_segments_degenerate(self):
+        out = align_segments([
+            (encode(""), encode("")),
+            (encode(""), encode("ACG")),
+            (encode("ACG"), encode("")),
+        ])
+        assert out[0] == ([], [], 0)
+        assert out[1][0][0].length == 3 and out[1][2] == 3
+        assert out[2][1][0].length == 3
+
+
+class TestAlignPair:
+    def setup_method(self):
+        rng = np.random.default_rng(7)
+        n = 6000
+        self.ref = rand_dna(rng, n)
+        q = list(self.ref)
+        for i in rng.choice(n, 60, replace=False):
+            q[i] = "ACGT"[rng.integers(4)]
+        qs = "".join(q)
+        qs = qs[:2000] + qs[2010:]              # deletion
+        qs = qs[:3000] + "ACGTACGTAC" + qs[3000:]  # insertion
+        inv = qs[4000:4800].translate(_COMP)[::-1]
+        self.query = qs[:4000] + inv + qs[4800:]
+
+    def test_recovers_structure(self):
+        entries = align_pair(self.ref, self.query, "R.c", "Q.c")
+        assert entries
+        for e in entries:
+            check_delta_valid(e)
+            ident = entry_identity(e, self.ref, self.query)
+            assert ident > 0.95, f"low identity {ident}"
+        # coverage of ref
+        covered = np.zeros(len(self.ref), bool)
+        n_rev = 0
+        for e in entries:
+            r = e.ref_range.abs()
+            covered[r.start - 1 : r.end] = True
+            n_rev += not e.query_range.is_forward
+        assert covered.mean() > 0.9, f"ref coverage {covered.mean()}"
+        assert n_rev >= 1, "inversion not found on reverse strand"
+
+    def test_filter_one_to_one(self):
+        entries = align_pair(self.ref, self.query, "R.c", "Q.c")
+        kept = filter_one_to_one(entries)
+        assert kept
+        # non-overlapping on ref
+        last = 0
+        for e in kept:
+            assert e.ref_range.abs().start > last
+            last = e.ref_range.abs().end
+
+    def test_identical_sequences(self):
+        entries = align_pair(self.ref, self.ref, "A.c", "B.c")
+        best = max(entries, key=lambda e: e.alignment_length())
+        assert best.ref_range == best.query_range.abs() or best.ref_range == best.query_range
+        assert entry_identity(best, self.ref, self.ref) == 1.0
+        assert best.alignment_length() >= len(self.ref) * 0.99
