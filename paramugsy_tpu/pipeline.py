@@ -1,0 +1,178 @@
+"""End-to-end multiple alignment: FASTA list -> one MAF.
+
+The single-process execution path (the ``paramugsy local`` role): guide tree
+-> binary job tree -> recursive execution where every node is either a
+degenerate single-genome leaf (fasta_to_maf role) or a profile merge fed by
+on-device pairwise alignments.  Multi-genome ``mugsy`` leaves are executed
+as binary merges over the guide-tree leaf order, so the whole run is one
+uniform merge recursion (the reference's leaf mugsyWGA + internal profile
+merges collapse into one primitive).
+
+The distributed runtime (paramugsy_tpu.runtime) schedules these same node
+computations asynchronously; this module is the sequential reference used
+by tests and small runs.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+from paramugsy_tpu.coords.range import FORWARD
+from paramugsy_tpu.formats.delta import DeltaEntry
+from paramugsy_tpu.formats.fasta import normalize_header, read_fasta, species_of_path
+from paramugsy_tpu.formats.maf import MAF_HEADER, MafBlock, MafSequence, write_maf
+from paramugsy_tpu.lcb.merge import merge_blocks
+from paramugsy_tpu.ops.align_pair import AlignConfig, align_pair
+from paramugsy_tpu.ops.encode import encode
+from paramugsy_tpu.tree.guide_tree import GuideTree, guide_tree_of_seqs
+from paramugsy_tpu.tree.job_tree import JobTree, make_job_tree
+
+
+@dataclass
+class Genome:
+    name: str  # species
+    seqs: dict[str, str]  # normalized record name -> sequence
+
+    @property
+    def total_length(self) -> int:
+        return sum(len(s) for s in self.seqs.values())
+
+    def concat_codes(self) -> np.ndarray:
+        parts = []
+        for s in self.seqs.values():
+            parts.append(encode(s))
+            parts.append(np.array([4], dtype=np.int8))  # N separator
+        return np.concatenate(parts) if parts else np.zeros(0, np.int8)
+
+
+def load_genome(path: str) -> Genome:
+    species = species_of_path(path)
+    seqs: dict[str, str] = {}
+    for header, seq in read_fasta(path):
+        seqs[normalize_header(header, species)] = seq.upper()
+    return Genome(name=species, seqs=seqs)
+
+
+@dataclass
+class PipelineConfig:
+    max_seqs: int = 2  # seqs-per-mugsy; binary merge all the way by default
+    min_length: int = 30  # mugsyWGA --minlength role
+    align: AlignConfig = field(default_factory=AlignConfig)
+    distance_k: int = 8
+    progress: Optional[Callable[[str], None]] = None
+
+    def log(self, msg: str) -> None:
+        if self.progress:
+            self.progress(msg)
+
+
+def genome_pair_deltas(
+    a: Genome, b: Genome, cfg: AlignConfig
+) -> list[DeltaEntry]:
+    """All-contig-pairs pairwise alignment of two genomes (nucmer role)."""
+    out: list[DeltaEntry] = []
+    for ra_name, ra in a.seqs.items():
+        for rb_name, rb in b.seqs.items():
+            out.extend(align_pair(ra, rb, ra_name, rb_name, cfg))
+    return out
+
+
+def fake_mugsy_blocks(g: Genome) -> list[MafBlock]:
+    """Single-genome degenerate leaf (lib/profiles/m_maf.ml role)."""
+    return [
+        MafBlock(
+            seqs=[
+                MafSequence(
+                    name=name, start=0, size=len(seq), strand=FORWARD,
+                    src_size=len(seq), text=seq,
+                )
+            ],
+            score=len(seq),
+            attrs={"label": "1", "mult": "1"},
+        )
+        for name, seq in g.seqs.items()
+    ]
+
+
+class Aligner:
+    """Executes the job tree sequentially in one process."""
+
+    def __init__(self, genomes: list[Genome], cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.genomes = {g.name: g for g in genomes}
+        self._uid = 0
+
+    def _next_uid(self) -> str:
+        self._uid += 1
+        return f"n{self._uid:04d}"
+
+    def guide_tree(self) -> GuideTree:
+        names = list(self.genomes)
+        codes = [self.genomes[n].concat_codes() for n in names]
+        return guide_tree_of_seqs(codes, names, k=self.cfg.distance_k)
+
+    def job_tree(self) -> JobTree:
+        order = self.guide_tree().leaves()
+        return make_job_tree(order, max(self.cfg.max_seqs, 2))
+
+    def merge_lists(
+        self, left: list[str], right: list[str],
+        left_blocks: list[MafBlock], right_blocks: list[MafBlock],
+    ) -> list[MafBlock]:
+        deltas: list[DeltaEntry] = []
+        for a in left:
+            for b in right:
+                self.cfg.log(f"pairwise {a} vs {b}")
+                deltas.extend(
+                    genome_pair_deltas(
+                        self.genomes[a], self.genomes[b], self.cfg.align
+                    )
+                )
+        uid = self._next_uid()
+        self.cfg.log(f"merge {len(left)}+{len(right)} genomes ({uid})")
+        return merge_blocks(
+            left_blocks,
+            right_blocks,
+            deltas,
+            basename_left=f"l{uid}",
+            basename_right=f"r{uid}",
+            min_length=self.cfg.min_length,
+        )
+
+    def align_ordered(self, order: list[str]) -> list[MafBlock]:
+        """Binary merge over an ordered genome list."""
+        if len(order) == 1:
+            return fake_mugsy_blocks(self.genomes[order[0]])
+        half = len(order) // 2
+        left, right = order[:half], order[half:]
+        lb = self.align_ordered(left)
+        rb = self.align_ordered(right)
+        return self.merge_lists(left, right, lb, rb)
+
+    def run_node(self, node: JobTree) -> list[MafBlock]:
+        if node.kind == "fake_mugsy":
+            return fake_mugsy_blocks(self.genomes[node.genomes[0]])
+        if node.kind == "mugsy":
+            return self.align_ordered(node.genomes)
+        lb = self.run_node(node.left)
+        rb = self.run_node(node.right)
+        return self.merge_lists(node.left.to_list(), node.right.to_list(), lb, rb)
+
+    def run(self) -> list[MafBlock]:
+        tree = self.job_tree()
+        self.cfg.log("job tree:\n" + tree.pp())
+        return self.run_node(tree)
+
+
+def align_fastas(
+    fasta_paths: list[str], out_maf: str, cfg: PipelineConfig | None = None
+) -> list[MafBlock]:
+    """CLI-level entry: FASTA files -> MAF file."""
+    genomes = [load_genome(p) for p in fasta_paths]
+    aligner = Aligner(genomes, cfg)
+    blocks = aligner.run()
+    write_maf(out_maf, blocks, header=MAF_HEADER)
+    return blocks

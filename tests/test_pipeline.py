@@ -1,0 +1,149 @@
+"""End-to-end pipeline tests: guide tree, job tree, merge, full alignment."""
+import numpy as np
+import pytest
+
+from paramugsy_tpu.formats.maf import read_maf
+from paramugsy_tpu.ops.encode import encode
+from paramugsy_tpu.pipeline import Aligner, Genome, PipelineConfig, align_fastas, load_genome
+from paramugsy_tpu.tree.distance import distance_matrix
+from paramugsy_tpu.tree.guide_tree import parse_newick, upgma
+from paramugsy_tpu.tree.job_tree import make_job_tree
+
+_COMP = str.maketrans("ACGT", "TGCA")
+
+
+def rand_dna(rng, n):
+    return "".join(np.array(list("ACGT"))[rng.integers(4, size=n)])
+
+
+def mutate(rng, s, sub=0.02, indels=3):
+    s = list(s)
+    for i in rng.choice(len(s), int(len(s) * sub), replace=False):
+        s[i] = "ACGT"[rng.integers(4)]
+    s = "".join(s)
+    for _ in range(indels):
+        p = int(rng.integers(100, len(s) - 100))
+        if rng.random() < 0.5:
+            s = s[:p] + s[p + int(rng.integers(1, 12)):]
+        else:
+            s = s[:p] + rand_dna(rng, int(rng.integers(1, 12))) + s[p:]
+    return s
+
+
+class TestDistance:
+    def test_closer_genomes_smaller_distance(self):
+        rng = np.random.default_rng(0)
+        a = rand_dna(rng, 3000)
+        near = mutate(rng, a, sub=0.01, indels=0)
+        far = rand_dna(rng, 3000)
+        d = distance_matrix([encode(a), encode(near), encode(far)])
+        assert d[0, 1] < d[0, 2]
+        assert d[0, 0] == 0
+        assert np.allclose(d, d.T)
+
+
+class TestGuideTree:
+    def test_upgma_groups_similar(self):
+        # distances: a,b close; c,d close; two groups far apart
+        d = np.array([
+            [0.0, 0.1, 0.9, 0.9],
+            [0.1, 0.0, 0.9, 0.9],
+            [0.9, 0.9, 0.0, 0.1],
+            [0.9, 0.9, 0.1, 0.0],
+        ])
+        t = upgma(d, ["a", "b", "c", "d"])
+        leaves = t.leaves()
+        assert {tuple(sorted(leaves[:2])), tuple(sorted(leaves[2:]))} == {
+            ("a", "b"), ("c", "d")
+        }
+
+    def test_newick_round_trip(self):
+        t = parse_newick("((a:0.1,b:0.2)x:0.3,(c,d));")
+        assert t.leaves() == ["a", "b", "c", "d"]
+        assert parse_newick(t.to_newick()).leaves() == t.leaves()
+
+
+class TestJobTree:
+    def test_recursive_halving(self):
+        jt = make_job_tree(list("abcdefg"), 2)
+        assert jt.kind == "profile"
+        assert jt.to_list() == list("abcdefg")
+        # 7 -> 3 + 4 -> (1+2) + (2+2)
+        assert jt.left.to_list() == list("abc")
+        assert jt.left.left.kind == "fake_mugsy"
+
+    def test_pairwise_counts(self):
+        jt = make_job_tree(list("abcdefg"), 2)
+        pairs = jt.all_pairwise()
+        # every unordered pair exactly once across the whole tree
+        assert len(pairs) == 21
+        assert len({tuple(sorted(p)) for p in pairs}) == 21
+
+    def test_leaf_pairwise_all_pairs(self):
+        jt = make_job_tree(list("abc"), 4)
+        assert jt.kind == "mugsy"
+        assert jt.pairwise() == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+@pytest.fixture(scope="module")
+def four_genome_run(tmp_path_factory):
+    rng = np.random.default_rng(42)
+    anc = rand_dna(rng, 5000)
+    d = tmp_path_factory.mktemp("genomes")
+    paths = []
+    genomes = {}
+    for name in ["alpha", "beta", "gamma", "zeta"]:
+        g = mutate(rng, anc)
+        (d / f"{name}.fasta").write_text(f">chr1\n{g}\n")
+        genomes[f"{name}.chr1"] = g
+        paths.append(str(d / f"{name}.fasta"))
+    out = str(d / "out.maf")
+    blocks = align_fastas(paths, out, PipelineConfig())
+    return genomes, blocks, out
+
+
+class TestEndToEnd:
+    def test_full_single_coverage(self, four_genome_run):
+        genomes, blocks, _ = four_genome_run
+        cov = {n: np.zeros(len(s), int) for n, s in genomes.items()}
+        for b in blocks:
+            for s in b.seqs:
+                fs, fe = s.forward_interval()
+                cov[s.name][fs : fe + 1] += 1
+        for n, c in cov.items():
+            assert (c == 1).all(), f"{n}: coverage faults (mafvalidate role)"
+
+    def test_rows_carry_true_sequence(self, four_genome_run):
+        genomes, blocks, _ = four_genome_run
+        for b in blocks:
+            for s in b.seqs:
+                bare = s.text.replace("-", "")
+                g = genomes[s.name]
+                if s.strand == 1:
+                    expect = g[s.start : s.start + s.size]
+                else:
+                    expect = g.translate(_COMP)[::-1][s.start : s.start + s.size]
+                assert bare == expect
+
+    def test_multi_genome_blocks_exist(self, four_genome_run):
+        genomes, blocks, _ = four_genome_run
+        mult4 = sum(1 for b in blocks if len(b.seqs) == 4)
+        total4 = sum(
+            len(b.seqs[0].text) for b in blocks if len(b.seqs) == 4
+        )
+        assert mult4 >= 1
+        # most of the (highly similar) genomes should align 4-way
+        assert total4 > 0.8 * min(len(g) for g in genomes.values())
+
+    def test_output_file_parses(self, four_genome_run):
+        _, blocks, out = four_genome_run
+        reread = list(read_maf(out))
+        assert len(reread) == len(blocks)
+
+    def test_block_columns_consistent(self, four_genome_run):
+        _, blocks, _ = four_genome_run
+        for b in blocks:
+            widths = {len(s.text) for s in b.seqs}
+            assert len(widths) == 1
+            for s in b.seqs:
+                assert len(s.text.replace("-", "")) == s.size
