@@ -1,0 +1,141 @@
+// paramugsy_tpu native runtime kernels.
+//
+// The reference keeps its hot coordinate/alignment paths in C++
+// (lib/m_translate/m_translate.cc — the production rewrite of the OCaml
+// translate; lib/profiles_lib/* streaming parsers).  This library plays the
+// same role for the TPU-era pipeline: the host-side work that is not worth
+// a device round trip — batched Needleman-Wunsch gap extension with
+// traceback, and the column-walk helpers — implemented natively and loaded
+// through ctypes (no pybind11 dependency).
+//
+// Build: make -C native   (produces libpm_native.so)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr uint8_t DIAG = 0;
+constexpr uint8_t UP = 1;    // consumes ref (gap in query row)
+constexpr uint8_t LEFT = 2;  // consumes query (gap in ref row)
+constexpr int32_t NEG = -100000000;
+
+// One pair's DP + traceback. dirs is a caller-provided (S+1)*(S+1) scratch.
+// Emits gap runs as triples (side, start, end) with side 0=ref-gap (LEFT
+// columns), 1=query-gap (UP columns); 1-indexed alignment columns.
+// Returns number of columns; run count via *n_runs.
+int32_t nw_one(const int8_t* a, int32_t an, const int8_t* b, int32_t bn,
+               int32_t match, int32_t mismatch, int32_t gap,
+               uint8_t* dirs, int32_t S1,
+               int32_t* runs, int32_t max_runs, int32_t* n_runs) {
+  // dp rows
+  std::vector<int32_t> prev(S1), cur(S1);
+  for (int32_t j = 0; j <= bn; ++j) prev[j] = gap * j;
+  for (int32_t j = 0; j <= bn; ++j) dirs[j] = LEFT;
+  dirs[0] = DIAG;
+  for (int32_t i = 1; i <= an; ++i) {
+    uint8_t* drow = dirs + (size_t)i * S1;
+    cur[0] = gap * i;
+    drow[0] = UP;
+    const int8_t ai = a[i - 1];
+    for (int32_t j = 1; j <= bn; ++j) {
+      int32_t diag = prev[j - 1] + (ai == b[j - 1] ? match : mismatch);
+      int32_t up = prev[j] + gap;
+      int32_t left = cur[j - 1] + gap;
+      int32_t best = diag;
+      uint8_t d = DIAG;
+      if (up > best) { best = up; d = UP; }
+      if (left > best) { best = left; d = LEFT; }
+      cur[j] = best;
+      drow[j] = d;
+    }
+    std::swap(prev, cur);
+  }
+  // traceback from (an, bn)
+  int32_t i = an, j = bn;
+  // collect columns reversed
+  std::vector<uint8_t> cols;
+  cols.reserve(an + bn);
+  while (i > 0 || j > 0) {
+    uint8_t d;
+    if (i == 0) d = LEFT;
+    else if (j == 0) d = UP;
+    else d = dirs[(size_t)i * S1 + j];
+    cols.push_back(d);
+    if (d == DIAG) { --i; --j; }
+    else if (d == UP) { --i; }
+    else { --j; }
+  }
+  std::reverse(cols.begin(), cols.end());
+  int32_t n = (int32_t)cols.size();
+  // extract runs
+  int32_t nr = 0;
+  int32_t start = -1;
+  uint8_t kind = DIAG;
+  for (int32_t c = 0; c <= n; ++c) {
+    uint8_t k = (c < n) ? cols[c] : DIAG;
+    if (k != kind) {
+      if (kind != DIAG && nr < max_runs) {
+        runs[nr * 3 + 0] = (kind == LEFT) ? 0 : 1;
+        runs[nr * 3 + 1] = start + 1;
+        runs[nr * 3 + 2] = c;
+        ++nr;
+      }
+      if (k != DIAG) start = c;
+      kind = k;
+    }
+  }
+  *n_runs = nr;
+  return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched NW alignment with traceback.
+//   a, b:        [batch, stride] int8 code arrays
+//   a_len,b_len: [batch] segment lengths (<= stride)
+//   out_cols:    [batch] alignment column counts
+//   out_runs:    [batch, max_runs, 3] (side, start, end) gap runs
+//   out_nruns:   [batch] run counts
+// Returns 0 on success, -1 if any pair overflowed max_runs.
+int pm_nw_align_batch(const int8_t* a, const int32_t* a_len,
+                      const int8_t* b, const int32_t* b_len,
+                      int32_t batch, int32_t stride,
+                      int32_t match, int32_t mismatch, int32_t gap,
+                      int32_t* out_cols, int32_t* out_runs,
+                      int32_t* out_nruns, int32_t max_runs) {
+  const int32_t S1 = stride + 1;
+  int overflow = 0;
+#if defined(_OPENMP)
+#pragma omp parallel
+#endif
+  {
+    std::vector<uint8_t> dirs((size_t)S1 * S1);
+#if defined(_OPENMP)
+#pragma omp for schedule(dynamic, 16)
+#endif
+    for (int32_t p = 0; p < batch; ++p) {
+      int32_t nr = 0;
+      out_cols[p] = nw_one(a + (size_t)p * stride, a_len[p],
+                           b + (size_t)p * stride, b_len[p],
+                           match, mismatch, gap,
+                           dirs.data(), S1,
+                           out_runs + (size_t)p * max_runs * 3, max_runs, &nr);
+      out_nruns[p] = nr;
+      if (nr >= max_runs) overflow = 1;
+    }
+  }
+  return overflow ? -1 : 0;
+}
+
+int pm_version() { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,231 @@
+"""Command-line entry (the paramugsy + worker-binaries CLI surface).
+
+Subcommands mirror the reference's executables:
+
+    align / local      paramugsy local run (lib/base/paramugsy.ml:232-248)
+    nucmer             one pairwise comparison (lib/nucmer/mugsy_nucmer.ml)
+    profiles make|translate|untranslate|maf_to_xmfa|fasta_to_maf
+                       (lib/profiles/m_profiles_cli.ml:6-21)
+    mafstat mafvalidate mafclean fastafmt mafdefrag maffiller analyzer
+    sortdelta          (the aux MAF toolchain)
+"""
+from __future__ import annotations
+
+import sys
+
+
+def _align_main(argv: list[str]) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="paramugsy-tpu align")
+    ap.add_argument("-seq_list", help="file listing genome FASTA paths")
+    ap.add_argument("fastas", nargs="*", help="genome FASTA paths")
+    ap.add_argument("-out_maf", required=True)
+    ap.add_argument("-seqs_per_mugsy", type=int, default=2)
+    ap.add_argument("-minlength", type=int, default=30)
+    ap.add_argument("-run_size", type=int, default=4, help="concurrent task slots")
+    ap.add_argument("-nucmer_chunk_size", type=int, default=4)
+    ap.add_argument("-sequential", action="store_true", help="single-threaded run")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    paths = list(args.fastas)
+    if args.seq_list:
+        with open(args.seq_list) as f:
+            paths.extend(l.strip() for l in f if l.strip())
+    if not paths:
+        ap.error("no input genomes (use -seq_list or positional FASTA paths)")
+
+    from paramugsy_tpu.pipeline import PipelineConfig
+
+    cfg = PipelineConfig(
+        max_seqs=args.seqs_per_mugsy,
+        min_length=args.minlength,
+        progress=(lambda m: print(m, file=sys.stderr)) if args.verbose else None,
+    )
+    if args.sequential:
+        from paramugsy_tpu.pipeline import align_fastas
+
+        blocks = align_fastas(paths, args.out_maf, cfg)
+    else:
+        from paramugsy_tpu.runtime.executor import align_fastas_concurrent
+
+        blocks = align_fastas_concurrent(
+            paths, args.out_maf, cfg,
+            run_size=args.run_size, chunk_size=args.nucmer_chunk_size,
+        )
+    print(f"wrote {args.out_maf}: {len(blocks)} blocks", file=sys.stderr)
+    return 0
+
+
+def _nucmer_main(argv: list[str]) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="paramugsy-tpu nucmer")
+    ap.add_argument("-ref_seq", required=True)
+    ap.add_argument("-query_seq", required=True)
+    ap.add_argument("-out_delta")
+    ap.add_argument("-out_maf")
+    ap.add_argument("-minlength", type=int, default=20)
+    ap.add_argument("-one_to_one", action="store_true", help="delta-filter -1 role")
+    args = ap.parse_args(argv)
+
+    from paramugsy_tpu.formats.delta import DeltaWriter
+    from paramugsy_tpu.formats.delta_maf import delta_to_maf_blocks
+    from paramugsy_tpu.formats.maf import write_maf
+    from paramugsy_tpu.ops.align_pair import AlignConfig, align_pair, filter_one_to_one
+    from paramugsy_tpu.pipeline import load_genome
+
+    ref = load_genome(args.ref_seq)
+    query = load_genome(args.query_seq)
+    cfg = AlignConfig(min_match=args.minlength)
+    entries = []
+    for rn, rs in ref.seqs.items():
+        for qn, qs in query.seqs.items():
+            entries.extend(align_pair(rs, qs, rn, qn, cfg))
+    if args.one_to_one:
+        entries = filter_one_to_one(entries)
+    if args.out_delta:
+        with open(args.out_delta, "w") as f:
+            w = DeltaWriter(f, args.ref_seq, args.query_seq)
+            for e in entries:
+                w.write(e)
+    if args.out_maf:
+        ref_seqs = dict(ref.seqs)
+        query_seqs = dict(query.seqs)
+        write_maf(
+            args.out_maf, delta_to_maf_blocks(entries, ref_seqs, query_seqs)
+        )
+    print(f"{len(entries)} alignments", file=sys.stderr)
+    return 0
+
+
+def _profiles_main(argv: list[str]) -> int:
+    import argparse
+
+    if not argv:
+        print(
+            "usage: paramugsy-tpu profiles {make,translate,untranslate,"
+            "maf_to_xmfa,fasta_to_maf} ...",
+            file=sys.stderr,
+        )
+        return 2
+    sub, rest = argv[0], argv[1:]
+    ap = argparse.ArgumentParser(prog=f"paramugsy-tpu profiles {sub}")
+    if sub == "make":
+        ap.add_argument("-basename", required=True)
+        ap.add_argument("-out_dir", required=True)
+        ap.add_argument("-in_maf", required=True)
+        a = ap.parse_args(rest)
+        from paramugsy_tpu.profiles.make import profile_set_of_maf
+
+        profile_set_of_maf(a.in_maf, a.out_dir, a.basename)
+        return 0
+    if sub == "translate":
+        ap.add_argument("left_dir")
+        ap.add_argument("right_dir")
+        ap.add_argument("-nucmer_list", required=True)
+        ap.add_argument("-out_delta", required=True)
+        a = ap.parse_args(rest)
+        from paramugsy_tpu.profiles.translate import translate
+
+        with open(a.nucmer_list) as f:
+            nucmers = [l.strip() for l in f if l.strip()]
+        with open(a.out_delta, "w") as out:
+            translate(a.left_dir, a.right_dir, nucmers, out)
+        return 0
+    if sub == "untranslate":
+        ap.add_argument("-profile_paths_list", required=True)
+        ap.add_argument("-in_maf", required=True)
+        ap.add_argument("-out_maf", required=True)
+        a = ap.parse_args(rest)
+        from paramugsy_tpu.formats.maf import MAF_HEADER, write_maf
+        from paramugsy_tpu.profiles.untranslate import untranslate
+
+        with open(a.profile_paths_list) as f:
+            dirs = [l.strip() for l in f if l.strip()]
+        blocks = list(untranslate(dirs, a.in_maf))
+        write_maf(a.out_maf, blocks, header=MAF_HEADER)
+        return 0
+    if sub == "maf_to_xmfa":
+        ap.add_argument("-in_maf", required=True)
+        a = ap.parse_args(rest)
+        from paramugsy_tpu.formats.maf import maf_to_xmfa
+
+        maf_to_xmfa(a.in_maf, sys.stdout)
+        return 0
+    if sub == "fasta_to_maf":
+        ap.add_argument("-in_fasta", required=True)
+        ap.add_argument("-out_maf", required=True)
+        a = ap.parse_args(rest)
+        from paramugsy_tpu.formats.maf import fasta_to_maf
+
+        with open(a.out_maf, "w") as f:
+            fasta_to_maf(a.in_fasta, f)
+        return 0
+    print(f"unknown profiles subcommand: {sub}", file=sys.stderr)
+    return 2
+
+
+_DEVICE_COMMANDS = {"align", "local", "nucmer"}
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] in _DEVICE_COMMANDS:
+        from paramugsy_tpu.utils.platform import ensure_backend
+
+        ensure_backend()
+    if not argv:
+        print(
+            "usage: paramugsy-tpu {align|local|nucmer|profiles|mafstat|"
+            "mafvalidate|mafclean|fastafmt|mafdefrag|maffiller|analyzer|"
+            "sortdelta} ...",
+            file=sys.stderr,
+        )
+        return 2
+    cmd, rest = argv[0], argv[1:]
+    if cmd in ("align", "local"):
+        return _align_main(rest)
+    if cmd == "nucmer":
+        return _nucmer_main(rest)
+    if cmd == "profiles":
+        return _profiles_main(rest)
+    if cmd == "mafstat":
+        from paramugsy_tpu.tools.mafstat import main as m
+
+        return m(rest)
+    if cmd == "mafvalidate":
+        from paramugsy_tpu.tools.mafvalidate import main as m
+
+        return m(rest)
+    if cmd in ("mafdefrag", "stitch"):
+        from paramugsy_tpu.tools.stitch import main as m
+
+        return m(rest)
+    if cmd == "maffiller":
+        from paramugsy_tpu.tools.maffiller import main as m
+
+        return m(rest)
+    if cmd == "analyzer":
+        from paramugsy_tpu.tools.maf_analyzer import main as m
+
+        return m(rest)
+    if cmd == "mafclean":
+        from paramugsy_tpu.tools.misc import mafclean_main as m
+
+        return m(rest)
+    if cmd == "fastafmt":
+        from paramugsy_tpu.tools.misc import fastafmt_main as m
+
+        return m(rest)
+    if cmd == "sortdelta":
+        from paramugsy_tpu.tools.misc import sort_delta_main as m
+
+        return m(rest)
+    print(f"unknown command: {cmd}", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

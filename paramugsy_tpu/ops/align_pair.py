@@ -46,6 +46,13 @@ class RawChain:
 
 
 def _chain_seeds_for_strand(ref_codes, q_codes, cfg: AlignConfig, reverse: bool):
+    # Pad to power-of-two buckets: one compiled kernel per bucket pair
+    # instead of one per genome length. Padding is N (code 4) whose k-mer
+    # windows are invalid, so results are unchanged.
+    from paramugsy_tpu.ops.encode import bucket_size, pad_to
+
+    ref_codes = jnp.asarray(pad_to(np.asarray(ref_codes), bucket_size(ref_codes.shape[0])))
+    q_codes = jnp.asarray(pad_to(np.asarray(q_codes), bucket_size(q_codes.shape[0])))
     seeds = find_seeds(
         ref_codes,
         q_codes,

@@ -162,9 +162,26 @@ def align_segments(
             b[bi, : len(rb)] = rb
             a_len[bi] = len(ra)
             b_len[bi] = len(rb)
-        dirs, _ = nw_align_batch(a, a_len, b, b_len, scoring)
-        for bi, i in enumerate(idxs):
-            results[i] = traceback_gaps(dirs[bi], int(a_len[bi]), int(b_len[bi]))
+        nat = None
+        try:
+            from paramugsy_tpu.ops.native import nw_align_batch_native
+
+            nat = nw_align_batch_native(
+                a, a_len, b, b_len, scoring.match, scoring.mismatch, scoring.gap
+            )
+        except Exception:
+            nat = None
+        if nat is not None:
+            cols, nruns, runs = nat
+            for bi, i in enumerate(idxs):
+                rr = runs[bi, : nruns[bi]]
+                ref_runs = [Range(int(s), int(e)) for side, s, e in rr if side == 0]
+                query_runs = [Range(int(s), int(e)) for side, s, e in rr if side == 1]
+                results[i] = (ref_runs, query_runs, int(cols[bi]))
+        else:
+            dirs, _ = nw_align_batch(a, a_len, b, b_len, scoring)
+            for bi, i in enumerate(idxs):
+                results[i] = traceback_gaps(dirs[bi], int(a_len[bi]), int(b_len[bi]))
     for i, r in enumerate(results):
         if r is None:
             a, b = segs[i]

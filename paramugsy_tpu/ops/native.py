@@ -1,0 +1,106 @@
+"""ctypes bindings for the native runtime kernels (native/pm_native.cc).
+
+Loaded lazily; callers fall back to the NumPy reference implementation when
+the library is absent.  Build with ``make -C native`` (auto-attempted once
+per process).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libpm_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and os.path.exists(
+        os.path.join(_NATIVE_DIR, "Makefile")
+    ):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.pm_nw_align_batch.restype = ctypes.c_int
+    lib.pm_nw_align_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
+    _lib = lib
+    return _lib
+
+
+def _ptr(arr: np.ndarray, typ):
+    return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def nw_align_batch_native(
+    a: np.ndarray,
+    a_len: np.ndarray,
+    b: np.ndarray,
+    b_len: np.ndarray,
+    match: int,
+    mismatch: int,
+    gap: int,
+):
+    """Returns (cols [B], nruns [B], runs [B, max_runs, 3]) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    B, S = a.shape
+    a = np.ascontiguousarray(a, dtype=np.int8)
+    b = np.ascontiguousarray(b, dtype=np.int8)
+    a_len = np.ascontiguousarray(a_len, dtype=np.int32)
+    b_len = np.ascontiguousarray(b_len, dtype=np.int32)
+    max_runs = S + 2
+    cols = np.zeros(B, dtype=np.int32)
+    runs = np.zeros((B, max_runs, 3), dtype=np.int32)
+    nruns = np.zeros(B, dtype=np.int32)
+    rc = lib.pm_nw_align_batch(
+        _ptr(a, ctypes.c_int8),
+        _ptr(a_len, ctypes.c_int32),
+        _ptr(b, ctypes.c_int8),
+        _ptr(b_len, ctypes.c_int32),
+        B,
+        S,
+        match,
+        mismatch,
+        gap,
+        _ptr(cols, ctypes.c_int32),
+        _ptr(runs, ctypes.c_int32),
+        _ptr(nruns, ctypes.c_int32),
+        max_runs,
+    )
+    if rc != 0:
+        return None
+    return cols, nruns, runs

@@ -114,21 +114,20 @@ def find_seeds(
     qpos = pos
     n_raw = jnp.sum(is_match.astype(jnp.int32))
 
-    # Compact matches sorted by (diagonal, position) for run merging.
-    # On one diagonal rpos and qpos advance together, so rpos ordering is
-    # qpos ordering.
+    # Re-sort ALL matches by (diagonal, position) for run merging (runs are
+    # merged over the full array; only merged runs are compacted, so dense
+    # match sets — near-identical genomes — don't overflow).  On one
+    # diagonal rpos and qpos advance together, so rpos ordering is qpos
+    # ordering.
     diag = rpos - qpos
     sort_key = jnp.where(is_match, 0, 1).astype(jnp.int32)
-    _, diag_s, rpos_sorted, qpos_sorted, match_s = lax.sort(
+    _, diag_c, rpos_c, qpos_c, match_s = lax.sort(
         (sort_key, diag, rpos, qpos, is_match.astype(jnp.int32)),
         num_keys=3,
     )
     m = max_seeds
-    nc = min(m * 4, n)
-    diag_c = lax.dynamic_slice_in_dim(diag_s, 0, nc)
-    rpos_c = lax.dynamic_slice_in_dim(rpos_sorted, 0, nc)
-    qpos_c = lax.dynamic_slice_in_dim(qpos_sorted, 0, nc)
-    mask_c = lax.dynamic_slice_in_dim(match_s, 0, nc) == 1
+    nc = n
+    mask_c = match_s == 1
     cidx = jnp.arange(nc, dtype=jnp.int32)
 
     # Runs of consecutive k-mers on one diagonal.

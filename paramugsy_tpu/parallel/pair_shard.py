@@ -1,0 +1,100 @@
+"""Sharded multi-pair alignment step (the distributed data path).
+
+The reference distributes pairwise nucmer jobs over a cluster with shell
+scripts and rsync manifests (lib/base/job_processor.ml:128-154 +
+scripts/sync_to.sh).  Here a *batch of genome pairs* is a tensor sharded
+over the ``pairs`` mesh axis; each device runs the seeding + clustering
+kernels on its shard, and per-pair cluster summaries are exchanged with an
+all_gather over ICI.  The guide-tree distance matrix shards the sketch
+dimension (``kdim`` axis) so the Jaccard matmul contracts over a sharded
+axis — XLA turns that into a psum.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from paramugsy_tpu.ops.chaining import cluster_seeds
+from paramugsy_tpu.ops.seeding import find_seeds
+
+
+def _pair_step(ref_codes, query_codes, *, k, max_seeds, max_clusters):
+    """Single-pair device work: seeds -> clusters (no host round trip)."""
+    seeds = find_seeds(ref_codes, query_codes, k=k, max_seeds=max_seeds)
+    cl = cluster_seeds(
+        seeds.rpos,
+        seeds.qpos,
+        seeds.length,
+        seeds.mask & (seeds.length >= 20),
+        max_clusters=max_clusters,
+    )
+    return {
+        "c_rstart": cl.c_rstart,
+        "c_rend": cl.c_rend,
+        "c_qstart": cl.c_qstart,
+        "c_qend": cl.c_qend,
+        "c_weight": cl.c_weight,
+        "c_mask": cl.c_mask,
+        "n_clusters": cl.n_clusters,
+        "n_seeds": seeds.n_runs,
+    }
+
+
+def make_sharded_pair_step(
+    mesh: Mesh, *, k: int = 16, max_seeds: int = 1 << 14, max_clusters: int = 1024
+):
+    """Build a jitted step: pair batch [P, N] x2 -> gathered cluster stats.
+
+    The batch axis is sharded over the ``pairs`` mesh axis; outputs are
+    all-gathered so every host sees every pair's summaries (the reference's
+    rsync-back of delta files, as one ICI collective).
+    """
+    step = functools.partial(
+        _pair_step, k=k, max_seeds=max_seeds, max_clusters=max_clusters
+    )
+
+    def shard_fn(ref_batch, query_batch):
+        out = jax.vmap(step)(ref_batch, query_batch)
+        # Merge across the pairs axis so every device holds all summaries.
+        return jax.tree.map(
+            lambda x: lax.all_gather(x, "pairs", axis=0, tiled=True), out
+        )
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("pairs"), P("pairs")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def make_sharded_distance_step(mesh: Mesh):
+    """Jaccard matrix with the sketch dimension sharded over ``kdim``.
+
+    sketches [G, D] with D sharded: the G x G matmul contracts over the
+    sharded axis, produced with an explicit psum inside shard_map.
+    """
+
+    def shard_fn(sketches):
+        inter_local = jnp.dot(
+            sketches, sketches.T, preferred_element_type=jnp.float32
+        )
+        inter = lax.psum(inter_local, "kdim")
+        sizes = jnp.diagonal(inter)
+        union = sizes[:, None] + sizes[None, :] - inter
+        return inter / jnp.maximum(union, 1.0)
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(None, "kdim"),),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -1,0 +1,169 @@
+"""Concurrent job-tree execution (the job_processor role).
+
+Reproduces the reference engine's structure (lib/base/job_processor.ml):
+
+* the tree is walked concurrently — a merge node's pairwise fan-out starts
+  *in parallel with* its children's subtree execution (P4 overlap,
+  job_processor.ml:251-266);
+* pairwise alignments are chunked ``chunk_size`` at a time
+  (run_nucmers, job_processor.ml:128-154);
+* task priority is tree depth (deeper first), through the bounded
+  PriorityScheduler;
+* failures propagate up and abort the run (job_processor.ml:330-333).
+"""
+from __future__ import annotations
+
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from paramugsy_tpu.formats.maf import MafBlock
+from paramugsy_tpu.pipeline import (
+    Aligner,
+    Genome,
+    PipelineConfig,
+    fake_mugsy_blocks,
+    genome_pair_deltas,
+)
+from paramugsy_tpu.lcb.merge import merge_blocks
+from paramugsy_tpu.runtime.scheduler import PriorityScheduler, spawn
+from paramugsy_tpu.tree.job_tree import JobTree, make_job_tree
+
+
+def _chunks(xs: list, size: int) -> list[list]:
+    return [xs[i : i + size] for i in range(0, len(xs), max(1, size))]
+
+
+class JobExecutor:
+    """Schedules the job tree over a bounded-slot priority scheduler."""
+
+    def __init__(
+        self,
+        genomes: list[Genome],
+        cfg: PipelineConfig | None = None,
+        run_size: int = 4,
+        chunk_size: int = 4,
+        scheduler: Optional[PriorityScheduler] = None,
+        on_task: Optional[Callable[[str, str], None]] = None,
+    ):
+        self.cfg = cfg or PipelineConfig()
+        self.genomes = {g.name: g for g in genomes}
+        self.sched = scheduler or PriorityScheduler(run_size)
+        self.chunk_size = chunk_size
+        self._uid = 0
+        self._on_task = on_task or (lambda phase, name: None)
+
+    def _next_uid(self) -> str:
+        self._uid += 1
+        return f"n{self._uid:04d}"
+
+    # ------------------------------------------------------------------
+    def _pair_chunk_task(self, pairs: list[tuple[str, str]]):
+        out = []
+        for a, b in pairs:
+            self._on_task("nucmer", f"{a}~{b}")
+            out.extend(
+                genome_pair_deltas(self.genomes[a], self.genomes[b], self.cfg.align)
+            )
+        return out
+
+    def _submit_pairs(self, pairs, priority) -> list[Future]:
+        return [
+            self.sched.submit(
+                self._pair_chunk_task, chunk, priority=priority,
+                name=f"pairs[{len(chunk)}]",
+            )
+            for chunk in _chunks(pairs, self.chunk_size)
+        ]
+
+    def _merge_node(
+        self,
+        left_names: list[str],
+        right_names: list[str],
+        left_fut: Future,
+        right_fut: Future,
+        delta_futs: list[Future],
+        priority: int,
+    ) -> list[MafBlock]:
+        lb = left_fut.result()
+        rb = right_fut.result()
+        deltas = []
+        for f in delta_futs:
+            deltas.extend(f.result())
+        uid = self._next_uid()
+        self._on_task("merge", uid)
+        merge_fut = self.sched.submit(
+            lambda: merge_blocks(
+                lb,
+                rb,
+                deltas,
+                basename_left=f"l{uid}",
+                basename_right=f"r{uid}",
+                min_length=self.cfg.min_length,
+            ),
+            priority=priority,
+            name=f"merge-{uid}",
+        )
+        return merge_fut.result()
+
+    def _process(self, node: JobTree, priority: int) -> Future:
+        if node.kind == "fake_mugsy":
+            return self.sched.submit(
+                fake_mugsy_blocks, self.genomes[node.genomes[0]],
+                priority=priority, name=f"fake:{node.genomes[0]}",
+            )
+        if node.kind == "mugsy":
+            # binary merge over the ordered leaf genomes
+            order = node.genomes
+            if len(order) == 1:
+                return self._process(
+                    JobTree(kind="fake_mugsy", genomes=order), priority
+                )
+            half = len(order) // 2
+            left = JobTree(kind="mugsy", genomes=order[:half]) if half > 1 else JobTree(kind="fake_mugsy", genomes=order[:half])
+            right = JobTree(kind="mugsy", genomes=order[half:]) if len(order) - half > 1 else JobTree(kind="fake_mugsy", genomes=order[half:])
+            node = JobTree(kind="profile", left=left, right=right)
+        # profile node: fan out pairs NOW, overlap with subtree recursion
+        left_names = node.left.to_list()
+        right_names = node.right.to_list()
+        pairs = [(a, b) for a in left_names for b in right_names]
+        delta_futs = self._submit_pairs(pairs, priority)
+        left_fut = self._process(node.left, priority + 1)
+        right_fut = self._process(node.right, priority + 1)
+        return spawn(
+            self._merge_node,
+            left_names,
+            right_names,
+            left_fut,
+            right_fut,
+            delta_futs,
+            priority,
+        )
+
+    def execute(self, tree: JobTree) -> list[MafBlock]:
+        try:
+            return self._process(tree, priority=0).result()
+        finally:
+            self.sched.stop(wait=False)
+
+
+def align_fastas_concurrent(
+    fasta_paths: list[str],
+    out_maf: str,
+    cfg: PipelineConfig | None = None,
+    run_size: int = 4,
+    chunk_size: int = 4,
+) -> list[MafBlock]:
+    """Concurrent version of pipeline.align_fastas."""
+    from paramugsy_tpu.formats.maf import MAF_HEADER, write_maf
+    from paramugsy_tpu.pipeline import load_genome
+
+    genomes = [load_genome(p) for p in fasta_paths]
+    cfg = cfg or PipelineConfig()
+    seq = Aligner(genomes, cfg)
+    tree = seq.job_tree()
+    cfg.log("job tree:\n" + tree.pp())
+    ex = JobExecutor(genomes, cfg, run_size=run_size, chunk_size=chunk_size)
+    blocks = ex.execute(tree)
+    write_maf(out_maf, blocks, header=MAF_HEADER)
+    return blocks

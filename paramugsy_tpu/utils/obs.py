@@ -1,0 +1,90 @@
+"""Observability: structured progress logging + phase timers + counters.
+
+Replaces the reference's timestamped stdout logger (lib/base/logger.ml:3-9),
+its ``Node: %05s Priority: %3d - msg`` progress lines
+(lib/base/job_processor.ml:125-126), and the ``echo Start-Single`` date
+stamps injected into task scripts (lib/base/mugsy_task.ml:22-36) with an
+in-process metrics registry.
+"""
+from __future__ import annotations
+
+import sys
+import threading
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+
+def timestamp() -> str:
+    return time.strftime("%Y-%m-%d %H:%M:%S", time.localtime())
+
+
+class Logger:
+    def __init__(self, stream=None, enabled: bool = True):
+        self.stream = stream or sys.stderr
+        self.enabled = enabled
+        self._lock = threading.Lock()
+
+    def log(self, msg: str) -> None:
+        if not self.enabled:
+            return
+        with self._lock:
+            self.stream.write(f"{timestamp()} {msg}\n")
+            self.stream.flush()
+
+    def node(self, node: str, priority: int, msg: str) -> None:
+        self.log(f"Node: {node:>5s} Priority: {priority:3d} - {msg}")
+
+
+@dataclass
+class PhaseStats:
+    count: int = 0
+    total_s: float = 0.0
+    total_items: int = 0
+
+    @property
+    def mean_s(self) -> float:
+        return self.total_s / self.count if self.count else 0.0
+
+
+class Metrics:
+    """Thread-safe phase timing + throughput counters."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.phases: dict[str, PhaseStats] = {}
+
+    @contextmanager
+    def phase(self, name: str, items: int = 0):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            with self._lock:
+                st = self.phases.setdefault(name, PhaseStats())
+                st.count += 1
+                st.total_s += dt
+                st.total_items += items
+
+    def add(self, name: str, seconds: float, items: int = 0) -> None:
+        with self._lock:
+            st = self.phases.setdefault(name, PhaseStats())
+            st.count += 1
+            st.total_s += seconds
+            st.total_items += items
+
+    def report(self) -> str:
+        lines = [f"{'phase':<24}{'count':>8}{'total_s':>10}{'mean_s':>10}{'items':>10}"]
+        with self._lock:
+            for name in sorted(self.phases):
+                st = self.phases[name]
+                lines.append(
+                    f"{name:<24}{st.count:>8}{st.total_s:>10.2f}"
+                    f"{st.mean_s:>10.3f}{st.total_items:>10}"
+                )
+        return "\n".join(lines)
+
+
+LOGGER = Logger(enabled=False)
+METRICS = Metrics()
