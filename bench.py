@@ -43,6 +43,10 @@ def build_pair(rng, n):
 def main() -> None:
     import jax
 
+    from paramugsy_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from paramugsy_tpu.ops.align_pair import AlignConfig, align_pair
 
     n = int(GENOME_MBP * 1e6)
@@ -50,13 +54,15 @@ def main() -> None:
     ref, query = build_pair(rng, n)
     cfg = AlignConfig()
 
-    # Warm-up: compiles the device kernels for this bucket shape.
-    _ = align_pair(ref[: n // 2].copy(), query[: n // 2].copy(), "w.r", "w.q", cfg)
+    # Warm-up: compiles (or loads from the persistent cache) the device
+    # kernels for this bucket shape.
     _ = align_pair(ref, query, "warm.r", "warm.q", cfg)
 
-    t0 = time.perf_counter()
-    entries = align_pair(ref, query, "R.c", "Q.c", cfg)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        entries = align_pair(ref, query, "R.c", "Q.c", cfg)
+        dt = min(dt, time.perf_counter() - t0)
 
     aligned_cols = sum(e.alignment_length() for e in entries)
     mbp_per_s = aligned_cols / 1e6 / dt

@@ -173,9 +173,11 @@ _DEVICE_COMMANDS = {"align", "local", "nucmer"}
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] in _DEVICE_COMMANDS:
+        from paramugsy_tpu.utils.cache import enable_compilation_cache
         from paramugsy_tpu.utils.platform import ensure_backend
 
         ensure_backend()
+        enable_compilation_cache()
     if not argv:
         print(
             "usage: paramugsy-tpu {align|local|nucmer|profiles|mafstat|"

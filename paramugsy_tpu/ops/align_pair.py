@@ -94,20 +94,44 @@ def _chain_seeds_for_strand(ref_codes, q_codes, cfg: AlignConfig, reverse: bool)
         sel = np.isin(s_cid, list(cids))
         rp, qp, ln = s_rpos[sel], s_qpos[sel], s_len[sel]
         order = np.lexsort((rp, qp))
-        rp, qp, ln = rp[order], qp[order], ln[order]
-        # Monotone + overlap trimming.
-        rows = []
-        prev_r, prev_q = -1, -1
-        for r, q, l in zip(rp, qp, ln):
-            trim = max(prev_r - r + 1, prev_q - q + 1, 0)
-            r, q, l = r + trim, q + trim, l - trim
-            if l <= 0:
-                continue
-            rows.append((int(r), int(q), int(l)))
-            prev_r, prev_q = r + l - 1, q + l - 1
-        if rows:
-            out.append(RawChain(seeds=np.array(rows, dtype=np.int64), reverse=reverse))
+        rows = _trim_monotone(rp[order], qp[order], ln[order])
+        if len(rows):
+            out.append(RawChain(seeds=rows, reverse=reverse))
     return out
+
+
+def _trim_monotone(rp: np.ndarray, qp: np.ndarray, ln: np.ndarray) -> np.ndarray:
+    """Make seeds strictly monotone + non-overlapping on both axes.
+
+    Vectorized fast path: trims each seed against its immediate neighbor
+    (start moves forward, ends never change, so neighbor ends are
+    trim-independent); falls back to the exact sequential walk when
+    dropped/contained seeds would invalidate the single pass.
+    """
+    rp = rp.astype(np.int64)
+    qp = qp.astype(np.int64)
+    ln = ln.astype(np.int64)
+    n = len(rp)
+    if n == 0:
+        return np.empty((0, 3), dtype=np.int64)
+    prev_rend = np.concatenate(([-1], rp[:-1] + ln[:-1] - 1))
+    prev_qend = np.concatenate(([-1], qp[:-1] + ln[:-1] - 1))
+    trim = np.maximum.reduce([prev_rend - rp + 1, prev_qend - qp + 1, np.zeros(n, np.int64)])
+    r2, q2, l2 = rp + trim, qp + trim, ln - trim
+    keep = l2 > 0
+    if keep.all():
+        return np.stack([r2, q2, l2], axis=1)
+    # Exact sequential walk (rare: contained seeds present).
+    rows = []
+    prev_r = prev_q = -1
+    for r, q, l in zip(rp, qp, ln):
+        t = max(prev_r - r + 1, prev_q - q + 1, 0)
+        r, q, l = r + t, q + t, l - t
+        if l <= 0:
+            continue
+        rows.append((int(r), int(q), int(l)))
+        prev_r, prev_q = r + l - 1, q + l - 1
+    return np.array(rows, dtype=np.int64) if rows else np.empty((0, 3), dtype=np.int64)
 
 
 def _entries_of_chain(

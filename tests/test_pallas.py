@@ -1,0 +1,85 @@
+"""Tests for the Pallas banded wavefront DP (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+from paramugsy_tpu.ops.extend import Scoring
+from paramugsy_tpu.ops.pallas_extend import banded_align
+
+
+def brute_nw(a, b, sc=Scoring()):
+    n, m = len(a), len(b)
+    dp = np.zeros((n + 1, m + 1), dtype=np.int64)
+    dp[0, :] = np.arange(m + 1) * sc.gap
+    dp[:, 0] = np.arange(n + 1) * sc.gap
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            s = sc.match if a[i - 1] == b[j - 1] else sc.mismatch
+            dp[i, j] = max(
+                dp[i - 1, j - 1] + s, dp[i - 1, j] + sc.gap, dp[i, j - 1] + sc.gap
+            )
+    return dp[n, m]
+
+
+def path_score(a, b, rg, qg, n, sc=Scoring()):
+    rgm = np.zeros(n, bool)
+    qgm = np.zeros(n, bool)
+    for g in rg:
+        rgm[g.start - 1 : g.end] = True
+    for g in qg:
+        qgm[g.start - 1 : g.end] = True
+    ri = qi = score = 0
+    for c in range(n):
+        if rgm[c] or qgm[c]:
+            score += sc.gap
+            ri += 0 if rgm[c] else 1
+            qi += 0 if qgm[c] else 1
+        else:
+            score += sc.match if a[ri] == b[qi] else sc.mismatch
+            ri += 1
+            qi += 1
+    assert ri == len(a) and qi == len(b), "path does not consume both sequences"
+    return score
+
+
+class TestBandedDP:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_optimal_when_band_covers(self, seed):
+        """When the band covers the whole DP table, banded == full optimum."""
+        rng = np.random.default_rng(seed)
+        la = int(rng.integers(5, 120))
+        lb = max(la + int(rng.integers(-40, 40)), 2)
+        a = rng.integers(0, 4, size=la).astype(np.int8)
+        if seed % 2 == 0 and lb <= la:
+            b = a[:lb].copy()
+            m = rng.random(lb) < 0.1
+            b[m] = ((b[m] + 1) % 4).astype(np.int8)
+        else:
+            b = rng.integers(0, 4, size=lb).astype(np.int8)
+        rg, qg, n = banded_align(a, b, width=256, chunk=128, interpret=True)
+        assert path_score(a, b, rg, qg, n) == brute_nw(a, b)
+
+    def test_long_similar_pair(self):
+        """A long diverged pair stays in-band and aligns near-perfectly."""
+        rng = np.random.default_rng(99)
+        la = 250
+        a = rng.integers(0, 4, size=la).astype(np.int8)
+        b = np.delete(a, [100, 101, 102])  # 3bp deletion
+        m = rng.random(len(b)) < 0.02
+        b[m] = ((b[m] + 1) % 4).astype(np.int8)
+        rg, qg, n = banded_align(a, b, width=256, chunk=128, interpret=True)
+        # one query-side gap of 3, no ref gaps
+        assert sum(g.length for g in qg) == 3
+        assert rg == []
+        assert n == la
+
+    def test_band_violation_raises(self):
+        a = np.zeros(1000, np.int8)
+        b = np.zeros(10, np.int8)
+        with pytest.raises(ValueError):
+            banded_align(a, b, width=256, interpret=True)
+
+    def test_empty_query(self):
+        a = np.array([0, 1, 2], np.int8)
+        b = np.zeros(0, np.int8)
+        rg, qg, n = banded_align(a, b, width=256, chunk=128, interpret=True)
+        assert n == 3 and qg[0].length == 3 and rg == []
