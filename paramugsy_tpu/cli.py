@@ -26,6 +26,15 @@ def _align_main(argv: list[str]) -> int:
     ap.add_argument("-run_size", type=int, default=4, help="concurrent task slots")
     ap.add_argument("-nucmer_chunk_size", type=int, default=4)
     ap.add_argument("-sequential", action="store_true", help="single-threaded run")
+    ap.add_argument(
+        "-tmp_dir", help="artifact store: per-node/pair outputs, enables resume"
+    )
+    ap.add_argument(
+        "-distributed",
+        action="store_true",
+        help="join the jax.distributed world; pairs partition across hosts "
+        "sharing -tmp_dir",
+    )
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -50,9 +59,17 @@ def _align_main(argv: list[str]) -> int:
     else:
         from paramugsy_tpu.runtime.executor import align_fastas_concurrent
 
+        process_index, process_count = 0, 1
+        if args.distributed:
+            from paramugsy_tpu.runtime.dist import init_distributed
+
+            ctx = init_distributed()
+            process_index, process_count = ctx.process_index, ctx.process_count
         blocks = align_fastas_concurrent(
             paths, args.out_maf, cfg,
             run_size=args.run_size, chunk_size=args.nucmer_chunk_size,
+            tmp_dir=args.tmp_dir,
+            process_index=process_index, process_count=process_count,
         )
     print(f"wrote {args.out_maf}: {len(blocks)} blocks", file=sys.stderr)
     return 0

@@ -1,0 +1,106 @@
+"""Artifact store: per-node checkpointing + resume + multi-host exchange.
+
+The reference writes every tree node's intermediates into its own numbered
+``tmp_dir/<node>/`` directory but has **no resume logic** (SURVEY aux #4);
+cross-machine data moves by rsync manifests over a shared filesystem.
+This store keeps that inspectable layout and adds what was missing:
+
+* deterministic keys (pair names / subtree genome sets), so a re-run
+  reuses every completed pairwise alignment and merge;
+* atomic completion markers (write tmp + rename), so partially written
+  artifacts are never trusted;
+* ``wait()`` polling, which doubles as the multi-host exchange: hosts
+  share the store through the filesystem, each computes its owned share,
+  and readers block on the ``done`` marker (the reference's 10 s
+  queue_server poll, reborn).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterable, Optional
+
+from paramugsy_tpu.formats.delta import DeltaEntry, DeltaWriter, read_delta
+from paramugsy_tpu.formats.maf import MAF_HEADER, MafBlock, read_maf, write_maf
+
+
+class ArtifactStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "pairs"), exist_ok=True)
+        os.makedirs(os.path.join(root, "nodes"), exist_ok=True)
+
+    # -- keys ----------------------------------------------------------
+    @staticmethod
+    def pair_key(a: str, b: str) -> str:
+        return f"{a}~{b}"
+
+    @staticmethod
+    def node_key(genomes: Iterable[str]) -> str:
+        return "+".join(genomes)
+
+    # -- paths ---------------------------------------------------------
+    def _pair_path(self, key: str) -> str:
+        return os.path.join(self.root, "pairs", key + ".delta")
+
+    def _node_path(self, key: str) -> str:
+        return os.path.join(self.root, "nodes", key + ".maf")
+
+    # -- pairwise deltas ------------------------------------------------
+    def has_pair(self, a: str, b: str) -> bool:
+        return os.path.exists(self._pair_path(self.pair_key(a, b)))
+
+    def save_pair(self, a: str, b: str, entries: list[DeltaEntry]) -> None:
+        path = self._pair_path(self.pair_key(a, b))
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            w = DeltaWriter(f, a, b)
+            for e in entries:
+                w.write(e)
+        os.replace(tmp, path)  # atomic completion marker
+
+    def load_pair(self, a: str, b: str) -> list[DeltaEntry]:
+        return list(read_delta(self._pair_path(self.pair_key(a, b))))
+
+    def wait_pair(self, a: str, b: str, timeout: float = 3600, poll: float = 0.2):
+        """Block until another host publishes this pair's artifact."""
+        path = self._pair_path(self.pair_key(a, b))
+        deadline = time.time() + timeout
+        while not os.path.exists(path):
+            if time.time() > deadline:
+                raise TimeoutError(f"timed out waiting for pair artifact {path}")
+            time.sleep(poll)
+        return self.load_pair(a, b)
+
+    # -- node (merge) outputs -------------------------------------------
+    def has_node(self, genomes: Iterable[str]) -> bool:
+        return os.path.exists(self._node_path(self.node_key(genomes)))
+
+    def save_node(self, genomes: Iterable[str], blocks: list[MafBlock]) -> None:
+        path = self._node_path(self.node_key(genomes))
+        tmp = path + ".tmp"
+        write_maf(tmp, blocks, header=MAF_HEADER)
+        os.replace(tmp, path)
+
+    def load_node(self, genomes: Iterable[str]) -> list[MafBlock]:
+        return list(read_maf(self._node_path(self.node_key(genomes))))
+
+
+class PairOwnership:
+    """Deterministic pair -> process assignment for multi-host runs.
+
+    Every host enumerates the same global pair list; a stable hash picks
+    one owner per pair (the reference's qsub job placement, made
+    deterministic).  Non-owners wait on the shared store.
+    """
+
+    def __init__(self, process_index: int = 0, process_count: int = 1):
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def owns(self, a: str, b: str) -> bool:
+        if self.process_count <= 1:
+            return True
+        import zlib  # stable digest (hash() is salted per process)
+
+        return zlib.crc32(f"{a}~{b}".encode()) % self.process_count == self.process_index

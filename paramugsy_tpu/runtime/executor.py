@@ -45,6 +45,8 @@ class JobExecutor:
         chunk_size: int = 4,
         scheduler: Optional[PriorityScheduler] = None,
         on_task: Optional[Callable[[str, str], None]] = None,
+        store=None,  # runtime.artifacts.ArtifactStore
+        ownership=None,  # runtime.artifacts.PairOwnership
     ):
         self.cfg = cfg or PipelineConfig()
         self.genomes = {g.name: g for g in genomes}
@@ -52,19 +54,37 @@ class JobExecutor:
         self.chunk_size = chunk_size
         self._uid = 0
         self._on_task = on_task or (lambda phase, name: None)
+        self.store = store
+        self.ownership = ownership
 
     def _next_uid(self) -> str:
         self._uid += 1
         return f"n{self._uid:04d}"
 
     # ------------------------------------------------------------------
+    def _pair_deltas(self, a: str, b: str):
+        """One pair's deltas, via the store when available.
+
+        With a store + ownership: owners compute and publish, others block
+        on the shared artifact (the multi-host exchange).
+        """
+        if self.store is not None:
+            if self.store.has_pair(a, b):
+                self._on_task("nucmer-cached", f"{a}~{b}")
+                return self.store.load_pair(a, b)
+            if self.ownership is not None and not self.ownership.owns(a, b):
+                self._on_task("nucmer-wait", f"{a}~{b}")
+                return self.store.wait_pair(a, b)
+        self._on_task("nucmer", f"{a}~{b}")
+        deltas = genome_pair_deltas(self.genomes[a], self.genomes[b], self.cfg.align)
+        if self.store is not None:
+            self.store.save_pair(a, b, deltas)
+        return deltas
+
     def _pair_chunk_task(self, pairs: list[tuple[str, str]]):
         out = []
         for a, b in pairs:
-            self._on_task("nucmer", f"{a}~{b}")
-            out.extend(
-                genome_pair_deltas(self.genomes[a], self.genomes[b], self.cfg.align)
-            )
+            out.extend(self._pair_deltas(a, b))
         return out
 
     def _submit_pairs(self, pairs, priority) -> list[Future]:
@@ -104,7 +124,10 @@ class JobExecutor:
             priority=priority,
             name=f"merge-{uid}",
         )
-        return merge_fut.result()
+        blocks = merge_fut.result()
+        if self.store is not None:
+            self.store.save_node(left_names + right_names, blocks)
+        return blocks
 
     def _process(self, node: JobTree, priority: int) -> Future:
         if node.kind == "fake_mugsy":
@@ -123,9 +146,16 @@ class JobExecutor:
             left = JobTree(kind="mugsy", genomes=order[:half]) if half > 1 else JobTree(kind="fake_mugsy", genomes=order[:half])
             right = JobTree(kind="mugsy", genomes=order[half:]) if len(order) - half > 1 else JobTree(kind="fake_mugsy", genomes=order[half:])
             node = JobTree(kind="profile", left=left, right=right)
-        # profile node: fan out pairs NOW, overlap with subtree recursion
+        # profile node: resume from a completed artifact if present
         left_names = node.left.to_list()
         right_names = node.right.to_list()
+        if self.store is not None and self.store.has_node(left_names + right_names):
+            self._on_task("merge-cached", "+".join(left_names + right_names))
+            return self.sched.submit(
+                self.store.load_node, left_names + right_names, priority=priority,
+                name="load-node",
+            )
+        # fan out pairs NOW, overlap with subtree recursion
         pairs = [(a, b) for a in left_names for b in right_names]
         delta_futs = self._submit_pairs(pairs, priority)
         left_fut = self._process(node.left, priority + 1)
@@ -153,17 +183,35 @@ def align_fastas_concurrent(
     cfg: PipelineConfig | None = None,
     run_size: int = 4,
     chunk_size: int = 4,
+    tmp_dir: str | None = None,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> list[MafBlock]:
-    """Concurrent version of pipeline.align_fastas."""
+    """Concurrent version of pipeline.align_fastas.
+
+    With ``tmp_dir``, artifacts persist for inspection/resume; with
+    ``process_count > 1``, pairwise work is deterministically partitioned
+    across hosts sharing ``tmp_dir``.
+    """
     from paramugsy_tpu.formats.maf import MAF_HEADER, write_maf
     from paramugsy_tpu.pipeline import load_genome
+    from paramugsy_tpu.runtime.artifacts import ArtifactStore, PairOwnership
 
     genomes = [load_genome(p) for p in fasta_paths]
     cfg = cfg or PipelineConfig()
     seq = Aligner(genomes, cfg)
     tree = seq.job_tree()
     cfg.log("job tree:\n" + tree.pp())
-    ex = JobExecutor(genomes, cfg, run_size=run_size, chunk_size=chunk_size)
+    store = ArtifactStore(tmp_dir) if tmp_dir else None
+    ownership = (
+        PairOwnership(process_index, process_count) if process_count > 1 else None
+    )
+    if ownership and store is None:
+        raise ValueError("multi-host runs require a shared tmp_dir store")
+    ex = JobExecutor(
+        genomes, cfg, run_size=run_size, chunk_size=chunk_size,
+        store=store, ownership=ownership,
+    )
     blocks = ex.execute(tree)
     write_maf(out_maf, blocks, header=MAF_HEADER)
     return blocks

@@ -1,0 +1,153 @@
+"""Tests for artifact persistence, resume, and multi-host partitioning."""
+import threading
+
+import numpy as np
+import pytest
+
+from paramugsy_tpu.coords.range import Range
+from paramugsy_tpu.formats.delta import DeltaEntry
+from paramugsy_tpu.pipeline import Aligner, Genome, PipelineConfig
+from paramugsy_tpu.runtime.artifacts import ArtifactStore, PairOwnership
+from paramugsy_tpu.runtime.executor import JobExecutor
+
+
+def _mk_genomes(seed=11, n=2500, count=4):
+    rng = np.random.default_rng(seed)
+    anc = "".join(np.array(list("ACGT"))[rng.integers(4, size=n)])
+    out = []
+    for i in range(count):
+        s = list(anc)
+        for j in rng.choice(n, n // 60, replace=False):
+            s[j] = "ACGT"[rng.integers(4)]
+        out.append(Genome(name=f"g{i}", seqs={f"g{i}.chr": "".join(s)}))
+    return out
+
+
+class TestStore:
+    def test_pair_round_trip(self, tmp_path):
+        st = ArtifactStore(str(tmp_path))
+        de = DeltaEntry("a.c", "b.c", 100, 90, Range(1, 50), Range(10, 60),
+                        [Range(5, 6)], [])
+        assert not st.has_pair("a", "b")
+        st.save_pair("a", "b", [de])
+        assert st.has_pair("a", "b")
+        loaded = st.load_pair("a", "b")
+        assert len(loaded) == 1
+        assert loaded[0].ref_range == de.ref_range
+        assert loaded[0].ref_gaps == de.ref_gaps
+
+    def test_wait_pair(self, tmp_path):
+        st = ArtifactStore(str(tmp_path))
+        de = DeltaEntry("a.c", "b.c", 100, 90, Range(1, 50), Range(10, 60), [], [])
+
+        def publisher():
+            st.save_pair("x", "y", [de])
+
+        t = threading.Timer(0.3, publisher)
+        t.start()
+        got = st.wait_pair("x", "y", timeout=10, poll=0.05)
+        assert len(got) == 1
+
+    def test_wait_timeout(self, tmp_path):
+        st = ArtifactStore(str(tmp_path))
+        with pytest.raises(TimeoutError):
+            st.wait_pair("never", "arrives", timeout=0.3, poll=0.05)
+
+    def test_ownership_partition(self):
+        owners = [PairOwnership(i, 3) for i in range(3)]
+        pairs = [(f"g{a}", f"g{b}") for a in range(6) for b in range(a + 1, 6)]
+        for a, b in pairs:
+            assert sum(o.owns(a, b) for o in owners) == 1
+        # single-process owns everything
+        assert all(PairOwnership(0, 1).owns(a, b) for a, b in pairs)
+
+
+class TestResume:
+    def test_second_run_uses_cache(self, tmp_path):
+        genomes = _mk_genomes()
+        cfg = PipelineConfig()
+        tree = Aligner(genomes, cfg).job_tree()
+        events1 = []
+        st = ArtifactStore(str(tmp_path))
+        ex1 = JobExecutor(
+            genomes, cfg, run_size=2, store=st,
+            on_task=lambda ph, n: events1.append(ph),
+        )
+        blocks1 = ex1.execute(tree)
+        assert events1.count("nucmer") == 6  # C(4,2) pairs computed
+
+        events2 = []
+        ex2 = JobExecutor(
+            _mk_genomes(), PipelineConfig(), run_size=2,
+            store=ArtifactStore(str(tmp_path)),
+            on_task=lambda ph, n: events2.append(ph),
+        )
+        blocks2 = ex2.execute(tree)
+        assert "nucmer" not in events2, "resume must not recompute pairs"
+        assert "merge-cached" in events2
+
+        def rows(blocks):
+            return sorted(
+                (s.name, s.start, s.size, s.strand, s.text)
+                for b in blocks for s in b.seqs
+            )
+
+        assert rows(blocks1) == rows(blocks2)
+
+    def test_partial_resume_recomputes_missing(self, tmp_path):
+        genomes = _mk_genomes(count=2)
+        cfg = PipelineConfig()
+        tree = Aligner(genomes, cfg).job_tree()
+        st = ArtifactStore(str(tmp_path))
+        JobExecutor(genomes, cfg, run_size=2, store=st).execute(tree)
+        # delete the merge artifact; pairs stay cached
+        import os, glob
+
+        for f in glob.glob(str(tmp_path / "nodes" / "*")):
+            os.remove(f)
+        events = []
+        ex = JobExecutor(
+            _mk_genomes(count=2), PipelineConfig(), run_size=2,
+            store=ArtifactStore(str(tmp_path)),
+            on_task=lambda ph, n: events.append(ph),
+        )
+        ex.execute(tree)
+        assert "nucmer-cached" in events
+        assert "merge" in events
+
+
+class TestMultiHostSimulated:
+    def test_two_hosts_share_store(self, tmp_path):
+        """Two executors with disjoint ownership converge via the store."""
+        cfg = PipelineConfig()
+        genomes = _mk_genomes()
+        tree = Aligner(genomes, cfg).job_tree()
+        results = {}
+        errors = []
+
+        def run(pid):
+            try:
+                ex = JobExecutor(
+                    _mk_genomes(), PipelineConfig(), run_size=2,
+                    store=ArtifactStore(str(tmp_path)),
+                    ownership=PairOwnership(pid, 2),
+                )
+                results[pid] = ex.execute(tree)
+            except BaseException as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=run, args=(pid,)) for pid in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        assert set(results) == {0, 1}
+
+        def rows(blocks):
+            return sorted(
+                (s.name, s.start, s.size, s.strand, s.text)
+                for b in blocks for s in b.seqs
+            )
+
+        assert rows(results[0]) == rows(results[1])
