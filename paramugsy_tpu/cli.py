@@ -23,6 +23,14 @@ def _align_main(argv: list[str]) -> int:
     ap.add_argument("-out_maf", required=True)
     ap.add_argument("-seqs_per_mugsy", type=int, default=2)
     ap.add_argument("-minlength", type=int, default=30)
+    ap.add_argument(
+        "-distance", type=int, default=200,
+        help="max distance between joined anchor clusters (mugsyWGA --distance role)",
+    )
+    ap.add_argument(
+        "-skipunique", action="store_true",
+        help="do not emit unaligned (unique) regions in the output MAF",
+    )
     ap.add_argument("-run_size", type=int, default=4, help="concurrent task slots")
     ap.add_argument("-nucmer_chunk_size", type=int, default=4)
     ap.add_argument("-sequential", action="store_true", help="single-threaded run")
@@ -45,11 +53,14 @@ def _align_main(argv: list[str]) -> int:
     if not paths:
         ap.error("no input genomes (use -seq_list or positional FASTA paths)")
 
+    from paramugsy_tpu.ops.align_pair import AlignConfig
     from paramugsy_tpu.pipeline import PipelineConfig
 
     cfg = PipelineConfig(
         max_seqs=args.seqs_per_mugsy,
         min_length=args.minlength,
+        emit_unique=not args.skipunique,
+        align=AlignConfig(break_len=args.distance),
         progress=(lambda m: print(m, file=sys.stderr)) if args.verbose else None,
     )
     if args.sequential:
@@ -85,12 +96,21 @@ def _nucmer_main(argv: list[str]) -> int:
     ap.add_argument("-out_maf")
     ap.add_argument("-minlength", type=int, default=20)
     ap.add_argument("-one_to_one", action="store_true", help="delta-filter -1 role")
+    ap.add_argument(
+        "-colinear", action="store_true",
+        help="keep a single colinear chain (delta-filter -m role)",
+    )
     args = ap.parse_args(argv)
 
     from paramugsy_tpu.formats.delta import DeltaWriter
     from paramugsy_tpu.formats.delta_maf import delta_to_maf_blocks
     from paramugsy_tpu.formats.maf import write_maf
-    from paramugsy_tpu.ops.align_pair import AlignConfig, align_pair, filter_one_to_one
+    from paramugsy_tpu.ops.align_pair import (
+        AlignConfig,
+        align_pair,
+        filter_colinear,
+        filter_one_to_one,
+    )
     from paramugsy_tpu.pipeline import load_genome
 
     ref = load_genome(args.ref_seq)
@@ -100,7 +120,9 @@ def _nucmer_main(argv: list[str]) -> int:
     for rn, rs in ref.seqs.items():
         for qn, qs in query.seqs.items():
             entries.extend(align_pair(rs, qs, rn, qn, cfg))
-    if args.one_to_one:
+    if args.colinear:
+        entries = filter_colinear(entries)
+    elif args.one_to_one:
         entries = filter_one_to_one(entries)
     if args.out_delta:
         with open(args.out_delta, "w") as f:

@@ -45,58 +45,58 @@ class RawChain:
     reverse: bool
 
 
-def _chain_seeds_for_strand(ref_codes, q_codes, cfg: AlignConfig, reverse: bool):
-    # Pad to power-of-two buckets: one compiled kernel per bucket pair
-    # instead of one per genome length. Padding is N (code 4) whose k-mer
-    # windows are invalid, so results are unchanged.
-    from paramugsy_tpu.ops.encode import bucket_size, pad_to
+def _chain_seeds_all(ref_codes, q_codes, q_rc_codes, cfg: AlignConfig):
+    """Seeds for both strands (one sort-join) -> chains per strand."""
+    from paramugsy_tpu.ops.seeding import find_seeds_both
 
-    ref_codes = jnp.asarray(pad_to(np.asarray(ref_codes), bucket_size(ref_codes.shape[0])))
-    q_codes = jnp.asarray(pad_to(np.asarray(q_codes), bucket_size(q_codes.shape[0])))
-    seeds = find_seeds(
+    seeds = find_seeds_both(
         ref_codes,
         q_codes,
+        q_rc_codes,
         k=cfg.k,
         max_seeds=cfg.max_seeds,
         unique_in_query=cfg.unique_in_query,
     )
-    keep = seeds.mask & (seeds.length >= cfg.min_match)
-    cl = cluster_seeds(
-        seeds.rpos,
-        seeds.qpos,
-        seeds.length,
-        keep,
-        band=cfg.band,
-        max_gap=cfg.max_gap,
-        max_clusters=cfg.max_clusters,
-    )
-    n_cl = int(cl.n_clusters)
-    cmask = np.array(cl.c_mask)
-    cmask[n_cl:] = False
-    idx = np.flatnonzero(cmask)
-    chains_ids = chain_clusters(
-        np.array(cl.c_rstart)[idx],
-        np.array(cl.c_rend)[idx],
-        np.array(cl.c_qstart)[idx],
-        np.array(cl.c_qend)[idx],
-        np.array(cl.c_weight)[idx],
-        max_join_gap=cfg.break_len,
-        min_chain_weight=cfg.min_cluster,
-    )
-    s_rpos = np.array(cl.seed_rpos)
-    s_qpos = np.array(cl.seed_qpos)
-    s_len = np.array(cl.seed_len)
-    s_cid = np.array(cl.seed_cluster)
+    base_keep = seeds.mask & (seeds.length >= cfg.min_match)
+    s_reverse = np.array(seeds.reverse)
 
     out: list[RawChain] = []
-    for chain in chains_ids:
-        cids = {int(idx[c]) for c in chain}
-        sel = np.isin(s_cid, list(cids))
-        rp, qp, ln = s_rpos[sel], s_qpos[sel], s_len[sel]
-        order = np.lexsort((rp, qp))
-        rows = _trim_monotone(rp[order], qp[order], ln[order])
-        if len(rows):
-            out.append(RawChain(seeds=rows, reverse=reverse))
+    for reverse in (False, True):
+        keep = base_keep & (seeds.reverse == reverse)
+        cl = cluster_seeds(
+            seeds.rpos,
+            seeds.qpos,
+            seeds.length,
+            keep,
+            band=cfg.band,
+            max_gap=cfg.max_gap,
+            max_clusters=cfg.max_clusters,
+        )
+        n_cl = int(cl.n_clusters)
+        cmask = np.array(cl.c_mask)
+        cmask[n_cl:] = False
+        idx = np.flatnonzero(cmask)
+        chains_ids = chain_clusters(
+            np.array(cl.c_rstart)[idx],
+            np.array(cl.c_rend)[idx],
+            np.array(cl.c_qstart)[idx],
+            np.array(cl.c_qend)[idx],
+            np.array(cl.c_weight)[idx],
+            max_join_gap=cfg.break_len,
+            min_chain_weight=cfg.min_cluster,
+        )
+        s_rpos = np.array(cl.seed_rpos)
+        s_qpos = np.array(cl.seed_qpos)
+        s_len = np.array(cl.seed_len)
+        s_cid = np.array(cl.seed_cluster)
+        for chain in chains_ids:
+            cids = {int(idx[c]) for c in chain}
+            sel = np.isin(s_cid, list(cids))
+            rp, qp, ln = s_rpos[sel], s_qpos[sel], s_len[sel]
+            order = np.lexsort((rp, qp))
+            rows = _trim_monotone(rp[order], qp[order], ln[order])
+            if len(rows):
+                out.append(RawChain(seeds=rows, reverse=reverse))
     return out
 
 
@@ -216,19 +216,26 @@ def align_pair(
     ref_np = ref_seq if isinstance(ref_seq, np.ndarray) else encode(ref_seq)
     query_np = query_seq if isinstance(query_seq, np.ndarray) else encode(query_seq)
     n_q = len(query_np)
-    ref_d = jnp.asarray(ref_np)
-    query_d = jnp.asarray(query_np)
-    query_rc_d = revcomp_codes(query_d)
-    query_rc_np = np.array(query_rc_d)
+
+    # Pad to power-of-two buckets: one compiled kernel per bucket pair
+    # instead of one per genome length. Padding is N (code 4) whose k-mer
+    # windows are invalid, so results are unchanged.
+    from paramugsy_tpu.ops.encode import bucket_size, pad_to
+
+    ref_d = jnp.asarray(pad_to(ref_np, bucket_size(len(ref_np))))
+    query_pad = pad_to(query_np, bucket_size(len(query_np)))
+    query_d = jnp.asarray(query_pad)
+    # revcomp of the *unpadded* query, then pad: strand-local coordinates
+    # stay 0-based at the sequence start.
+    query_rc_np = np.array(revcomp_codes(jnp.asarray(query_np)))
+    query_rc_d = jnp.asarray(pad_to(query_rc_np, bucket_size(len(query_rc_np))))
 
     entries: list[DeltaEntry] = []
-    for reverse, qd, qn in ((False, query_d, query_np), (True, query_rc_d, query_rc_np)):
-        for chain in _chain_seeds_for_strand(ref_d, qd, cfg, reverse):
-            entries.extend(
-                _entries_of_chain(
-                    chain, ref_np, qn, ref_name, query_name, n_q, cfg
-                )
-            )
+    for chain in _chain_seeds_all(ref_d, query_d, query_rc_d, cfg):
+        qn = query_rc_np if chain.reverse else query_np
+        entries.extend(
+            _entries_of_chain(chain, ref_np, qn, ref_name, query_name, n_q, cfg)
+        )
     entries.sort(key=lambda e: (e.ref_range.abs().start, e.ref_range.abs().end))
     return entries
 
@@ -258,3 +265,48 @@ def filter_one_to_one(entries: list[DeltaEntry]) -> list[DeltaEntry]:
     es = lis_filter(entries, lambda e: e.ref_range)
     es = lis_filter(es, lambda e: e.query_range)
     return sorted(es, key=lambda e: e.ref_range.abs().start)
+
+
+def filter_colinear(entries: list[DeltaEntry]) -> list[DeltaEntry]:
+    """delta-filter -m role (the reference's -colinear mode): keep one
+    globally colinear chain — entries monotone on both axes with a single
+    orientation, chosen by weighted LIS."""
+    if not entries:
+        return entries
+    best: list[DeltaEntry] = []
+    for want_forward in (True, False):
+        cand = [
+            e for e in entries if e.query_range.is_forward == want_forward
+        ]
+        cand.sort(key=lambda e: e.ref_range.abs().start)
+        n = len(cand)
+        score = [0] * n
+        parent = [-1] * n
+        for i in range(n):
+            score[i] = cand[i].ref_range.length
+            for j in range(i):
+                if (
+                    cand[j].ref_range.abs().end < cand[i].ref_range.abs().start
+                    and (
+                        cand[j].query_range.abs().end
+                        < cand[i].query_range.abs().start
+                        if want_forward
+                        else cand[i].query_range.abs().end
+                        < cand[j].query_range.abs().start
+                    )
+                    and score[j] + cand[i].ref_range.length > score[i]
+                ):
+                    score[i] = score[j] + cand[i].ref_range.length
+                    parent[i] = j
+        if n:
+            i = max(range(n), key=lambda x: score[x])
+            chain = []
+            while i != -1:
+                chain.append(cand[i])
+                i = parent[i]
+            chain.reverse()
+            if sum(e.ref_range.length for e in chain) > sum(
+                e.ref_range.length for e in best
+            ):
+                best = chain
+    return best

@@ -173,3 +173,144 @@ def find_seeds(
         n_runs=n_runs,
     )
     return out
+
+
+class SeedMatches2(NamedTuple):
+    """Both-strand maximal matches: one sort-join for fwd + revcomp query."""
+
+    rpos: jnp.ndarray
+    qpos: jnp.ndarray  # strand-local (revcomp coordinates for reverse runs)
+    length: jnp.ndarray
+    reverse: jnp.ndarray  # bool [M] strand of each run
+    mask: jnp.ndarray
+    n_raw: jnp.ndarray
+    n_runs: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_seeds", "unique_in_query"))
+def find_seeds_both(
+    ref_codes,
+    query_codes,
+    query_rc_codes,
+    *,
+    k: int = 16,
+    max_seeds: int = 1 << 16,
+    unique_in_query: bool = False,
+) -> SeedMatches2:
+    """Both-strand variant of `find_seeds` with a single big sort.
+
+    The forward and reverse-complement query k-mer streams join the ref
+    stream in one sorted array (owner tags 0/1/2), so ref uniqueness is
+    counted once and the dominant sort cost is paid once instead of twice.
+    """
+    rk, rvalid = kmer_codes(ref_codes, k)
+    qk, qvalid = kmer_codes(query_codes, k)
+    qrk, qrvalid = kmer_codes(query_rc_codes, k)
+    n_r, n_q, n_qr = rk.shape[0], qk.shape[0], qrk.shape[0]
+    n = n_r + n_q + n_qr
+
+    codes = jnp.concatenate([rk, qk, qrk])
+    invalid = jnp.concatenate([~rvalid, ~qvalid, ~qrvalid]).astype(jnp.int32)
+    owner = jnp.concatenate(
+        [
+            jnp.zeros(n_r, jnp.int32),
+            jnp.ones(n_q, jnp.int32),
+            jnp.full(n_qr, 2, jnp.int32),
+        ]
+    )
+    pos = jnp.concatenate(
+        [
+            jnp.arange(n_r, dtype=jnp.int32),
+            jnp.arange(n_q, dtype=jnp.int32),
+            jnp.arange(n_qr, dtype=jnp.int32),
+        ]
+    )
+
+    invalid, codes, owner, pos = lax.sort((invalid, codes, owner, pos), num_keys=2)
+    valid = invalid == 0
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    prev_code = jnp.roll(codes, 1)
+    is_start = valid & ((codes != prev_code) | (idx == 0))
+    seg_start = _prefix_max(jnp.where(is_start, idx, -1))
+    nxt = jnp.where(is_start, idx, BIG)
+    nxt_after = jnp.concatenate([_suffix_min(nxt)[1:], jnp.array([BIG])])
+    seg_end = jnp.minimum(nxt_after - 1, n - 1)
+
+    ref_in = (owner == 0) & valid
+    cum_ref = jnp.cumsum(ref_in.astype(jnp.int32))
+    cum_refpos = jnp.cumsum(jnp.where(ref_in, pos, 0).astype(jnp.int32))
+    query_in = (owner > 0) & valid
+    cum_query = jnp.cumsum(query_in.astype(jnp.int32))
+
+    def seg_sum(cum, lo, hi):
+        lo_v = jnp.where(lo > 0, cum[jnp.maximum(lo - 1, 0)], 0)
+        return cum[hi] - lo_v
+
+    ref_count = seg_sum(cum_ref, seg_start, seg_end)
+    query_count = seg_sum(cum_query, seg_start, seg_end)
+    ref_pos_sum = seg_sum(cum_refpos, seg_start, seg_end)
+
+    is_match = valid & query_in & (ref_count == 1)
+    if unique_in_query:
+        # counts both orientations: a k-mer repeated across strands is
+        # not query-unique (conservative for palindromic repeats)
+        is_match = is_match & (query_count == 1)
+
+    rpos = ref_pos_sum.astype(jnp.int32)
+    n_raw = jnp.sum(is_match.astype(jnp.int32))
+
+    diag = rpos - pos
+    sort_key = jnp.where(is_match, 0, 1).astype(jnp.int32)
+    _, owner_c, diag_c, rpos_c, qpos_c, match_s = lax.sort(
+        (sort_key, owner, diag, rpos, pos, is_match.astype(jnp.int32)),
+        num_keys=4,
+    )
+    mask_c = match_s == 1
+    cidx = jnp.arange(n, dtype=jnp.int32)
+
+    prev_mask = jnp.roll(mask_c, 1).at[0].set(False)
+    run_start = mask_c & (
+        ~prev_mask
+        | (owner_c != jnp.roll(owner_c, 1))
+        | (diag_c != jnp.roll(diag_c, 1))
+        | (qpos_c != jnp.roll(qpos_c, 1) + 1)
+    )
+    next_continues = (
+        jnp.roll(mask_c, -1)
+        & (jnp.roll(owner_c, -1) == owner_c)
+        & (jnp.roll(diag_c, -1) == diag_c)
+        & (jnp.roll(qpos_c, -1) == qpos_c + 1)
+    )
+    is_run_end = mask_c & ((cidx == n - 1) | ~next_continues)
+    run_start_idx = _prefix_max(jnp.where(run_start, cidx, -1))
+    run_len_kmers = cidx - run_start_idx + 1
+    run_rpos = rpos_c[jnp.maximum(run_start_idx, 0)]
+    run_qpos = qpos_c[jnp.maximum(run_start_idx, 0)]
+
+    n_runs = jnp.sum(is_run_end.astype(jnp.int32))
+
+    out_key = jnp.where(is_run_end, 0, 1).astype(jnp.int32)
+    _, o_owner, o_rpos, o_qpos, o_len, o_mask = lax.sort(
+        (
+            out_key,
+            owner_c,
+            run_rpos,
+            run_qpos,
+            run_len_kmers + (k - 1),
+            is_run_end.astype(jnp.int32),
+        ),
+        num_keys=1,
+        is_stable=True,
+    )
+    take = min(max_seeds, n)
+    cut = lambda x: lax.dynamic_slice_in_dim(x, 0, take)  # noqa: E731
+    return SeedMatches2(
+        rpos=cut(o_rpos),
+        qpos=cut(o_qpos),
+        length=cut(o_len),
+        reverse=cut(o_owner) == 2,
+        mask=cut(o_mask) == 1,
+        n_raw=n_raw,
+        n_runs=n_runs,
+    )

@@ -60,6 +60,7 @@ def load_genome(path: str) -> Genome:
 class PipelineConfig:
     max_seqs: int = 2  # seqs-per-mugsy; binary merge all the way by default
     min_length: int = 30  # mugsyWGA --minlength role
+    emit_unique: bool = True  # False = the reference's -skipunique
     align: AlignConfig = field(default_factory=AlignConfig)
     distance_k: int = 8
     progress: Optional[Callable[[str], None]] = None
@@ -140,6 +141,7 @@ class Aligner:
             basename_left=f"l{uid}",
             basename_right=f"r{uid}",
             min_length=self.cfg.min_length,
+            emit_unique=self.cfg.emit_unique,
         )
 
     def align_ordered(self, order: list[str]) -> list[MafBlock]:

@@ -120,6 +120,7 @@ class JobExecutor:
                 basename_left=f"l{uid}",
                 basename_right=f"r{uid}",
                 min_length=self.cfg.min_length,
+                emit_unique=self.cfg.emit_unique,
             ),
             priority=priority,
             name=f"merge-{uid}",

@@ -1,0 +1,114 @@
+"""Tests for mode flags (skipunique/colinear/duplications parity) and
+robustness: multi-contig genomes, N runs, empty inputs."""
+import numpy as np
+import pytest
+
+from paramugsy_tpu.coords.range import Range
+from paramugsy_tpu.formats.delta import DeltaEntry
+from paramugsy_tpu.ops.align_pair import align_pair, filter_colinear
+from paramugsy_tpu.pipeline import Aligner, Genome, PipelineConfig
+from paramugsy_tpu.tools.mafvalidate import find_faults
+
+_COMP = str.maketrans("ACGT", "TGCA")
+
+
+def rand_dna(rng, n):
+    return "".join(np.array(list("ACGT"))[rng.integers(4, size=n)])
+
+
+class TestFilterColinear:
+    def mk(self, rs, re_, qs, qe):
+        return DeltaEntry("r", "q", 1000, 1000, Range(rs, re_), Range(qs, qe), [], [])
+
+    def test_keeps_monotone_chain(self):
+        entries = [
+            self.mk(1, 100, 1, 100),
+            self.mk(200, 300, 200, 300),
+            self.mk(150, 170, 500, 520),  # breaks colinearity; lighter
+        ]
+        out = filter_colinear(entries)
+        assert [e.ref_range.start for e in out] == [1, 200]
+
+    def test_picks_heavier_orientation(self):
+        entries = [
+            self.mk(1, 50, 1, 50),
+            self.mk(100, 400, 400, 100),  # reverse, heavier
+        ]
+        out = filter_colinear(entries)
+        assert len(out) == 1 and not out[0].query_range.is_forward
+
+
+class TestSkipUnique:
+    def test_skipunique_drops_single_coverage(self):
+        rng = np.random.default_rng(3)
+        anc = rand_dna(rng, 3000)
+        # two genomes sharing only the middle third
+        a = rand_dna(rng, 1000) + anc[1000:2000] + rand_dna(rng, 1000)
+        b = rand_dna(rng, 500) + anc[1000:2000] + rand_dna(rng, 500)
+        genomes = [
+            Genome("ga", {"ga.c": a}),
+            Genome("gb", {"gb.c": b}),
+        ]
+        full = Aligner(genomes, PipelineConfig()).run()
+        skinny = Aligner(
+            [Genome("ga", {"ga.c": a}), Genome("gb", {"gb.c": b})],
+            PipelineConfig(emit_unique=False),
+        ).run()
+        # full output tiles both genomes; skipunique has coverage gaps
+        assert find_faults(full) == []
+        assert any(f.kind == "Gap" for f in find_faults(skinny))
+        # and all remaining blocks are 2-genome alignments
+        assert all(len(b_.seqs) >= 2 for b_ in skinny)
+
+
+class TestRobustness:
+    def test_multi_contig_genomes(self):
+        rng = np.random.default_rng(5)
+        anc1, anc2 = rand_dna(rng, 1500), rand_dna(rng, 1200)
+
+        def mutate(s):
+            t = list(s)
+            for j in rng.choice(len(s), len(s) // 60, replace=False):
+                t[j] = "ACGT"[rng.integers(4)]
+            return "".join(t)
+
+        g1 = Genome("x", {"x.c1": mutate(anc1), "x.c2": mutate(anc2)})
+        g2 = Genome("y", {"y.c1": mutate(anc1), "y.c2": mutate(anc2)})
+        blocks = Aligner([g1, g2], PipelineConfig()).run()
+        assert find_faults(blocks) == []
+        # cross-contig homology found for both contigs
+        pairs = {
+            frozenset(s.name for s in b.seqs) for b in blocks if len(b.seqs) == 2
+        }
+        assert frozenset({"x.c1", "y.c1"}) in pairs
+        assert frozenset({"x.c2", "y.c2"}) in pairs
+
+    def test_n_runs_are_tolerated(self):
+        rng = np.random.default_rng(6)
+        anc = rand_dna(rng, 2000)
+        a = anc[:900] + "N" * 50 + anc[950:]
+        b = anc
+        entries = align_pair(a, b, "a.c", "b.c")
+        assert entries
+        covered = np.zeros(len(a), bool)
+        for e in entries:
+            r = e.ref_range.abs()
+            covered[r.start - 1 : r.end] = True
+        # everything except around the N island aligns
+        assert covered[:880].mean() > 0.95
+        assert covered[1020:].mean() > 0.95
+
+    def test_identical_tiny(self):
+        entries = align_pair("ACGTACGTACGTACGTACGTACGT", "ACGTACGTACGTACGTACGTACGT",
+                             "a.c", "b.c")
+        # repetitive tiny sequence: unique-ref filter may drop everything,
+        # but the call must not crash and entries must be valid
+        for e in entries:
+            assert e.ref_range.length >= 1
+
+    def test_no_homology(self):
+        rng = np.random.default_rng(8)
+        a, b = rand_dna(rng, 1500), rand_dna(rng, 1500)
+        entries = align_pair(a, b, "a.c", "b.c")
+        total = sum(e.ref_range.length for e in entries)
+        assert total < 300, "random sequences should produce little alignment"
