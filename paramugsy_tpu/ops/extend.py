@@ -182,10 +182,83 @@ def align_segments(
             dirs, _ = nw_align_batch(a, a_len, b, b_len, scoring)
             for bi, i in enumerate(idxs):
                 results[i] = traceback_gaps(dirs[bi], int(a_len[bi]), int(b_len[bi]))
+    # Long segments route to the banded engines (Pallas on device, banded
+    # NumPy on host).
     for i, r in enumerate(results):
         if r is None:
             a, b = segs[i]
-            raise ValueError(
-                f"segment too large to align: {len(a)}x{len(b)} (cap {BUCKETS[-1]})"
-            )
+            results[i] = align_long_segment(np.asarray(a), np.asarray(b), scoring)
     return results
+
+
+def banded_align_np(
+    a: np.ndarray, b: np.ndarray, width: int = 512, scoring: Scoring = Scoring()
+):
+    """NumPy mirror of the Pallas banded kernel (ops.pallas_extend).
+
+    Same band layout and prefix-max closure, vectorized over lanes; used
+    as the host fallback for segments too long for the full-DP buckets.
+    """
+    from paramugsy_tpu.ops.pallas_extend import traceback_band
+
+    a_len, b_len = len(a), len(b)
+    if abs(a_len - b_len) >= width // 2:
+        raise ValueError(
+            f"length difference {abs(a_len - b_len)} exceeds band {width//2}"
+        )
+    half = width // 2
+    lanes = np.arange(width)
+    NEGv = np.int64(NEG)
+    j0 = lanes - half
+    prev = np.where((j0 >= 0) & (j0 <= b_len), scoring.gap * j0, NEGv)
+    bpad = np.full(b_len + 2 * width, 4, dtype=np.int64)
+    bpad[width : width + b_len] = b
+    dirs = np.empty((a_len, width), dtype=np.uint8)
+    for i in range(1, a_len + 1):
+        j = i + lanes - half
+        valid = (j >= 1) & (j <= b_len)
+        bwin = bpad[i - half - 1 + width : i - half - 1 + width + width]
+        sub = np.where(bwin == a[i - 1], scoring.match, scoring.mismatch)
+        diag_term = prev + sub
+        up = np.roll(prev, -1)
+        up_term = np.where(lanes < width - 1, up + scoring.gap, NEGv)
+        cand = np.maximum(diag_term, up_term)
+        cand = np.where(j == 0, np.maximum(cand, scoring.gap * i), cand)
+        cand = np.where(valid | (j == 0), cand, NEGv)
+        gj = scoring.gap * j
+        run = np.maximum.accumulate(cand - gj)
+        dp = np.where(valid, run + gj, np.where(j == 0, scoring.gap * i, NEGv))
+        d = np.full(width, LEFT, dtype=np.uint8)
+        d[dp == up_term] = UP
+        d[dp == diag_term] = DIAG
+        dirs[i - 1] = d
+        prev = dp
+    return traceback_band(dirs, a_len, b_len, width)
+
+
+def align_long_segment(
+    a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring()
+):
+    """Route one long segment: Pallas banded DP on an accelerator, NumPy
+    banded DP otherwise.  Band width grows with the length difference."""
+    width = 512
+    while abs(len(a) - len(b)) >= width // 2:
+        width *= 2
+    use_device = False
+    try:
+        import jax
+
+        use_device = jax.default_backend() != "cpu"
+    except Exception:
+        use_device = False
+    if use_device:
+        try:
+            from paramugsy_tpu.ops.pallas_extend import banded_align
+
+            return banded_align(
+                a, b, width=width,
+                match=scoring.match, mismatch=scoring.mismatch, gap=scoring.gap,
+            )
+        except Exception:
+            pass
+    return banded_align_np(a, b, width=width, scoring=scoring)

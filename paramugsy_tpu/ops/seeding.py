@@ -202,12 +202,22 @@ def find_seeds_both(
     The forward and reverse-complement query k-mer streams join the ref
     stream in one sorted array (owner tags 0/1/2), so ref uniqueness is
     counted once and the dominant sort cost is paid once instead of twice.
+
+    Gather-free segment reductions: segment-boundary values of the
+    (nondecreasing) count cumsums are extracted with prefix-max /
+    suffix-min instead of indexed gathers; run start coordinates follow
+    arithmetically from run lengths.  Sort keys for the re-sort and the
+    compaction are bit-packed (flag | owner | 24-bit value), which bounds
+    per-sequence bucket sizes to 2^23 — far above bacterial genomes; long
+    eukaryotic contigs should be windowed by the caller.
     """
     rk, rvalid = kmer_codes(ref_codes, k)
     qk, qvalid = kmer_codes(query_codes, k)
     qrk, qrvalid = kmer_codes(query_rc_codes, k)
     n_r, n_q, n_qr = rk.shape[0], qk.shape[0], qrk.shape[0]
     n = n_r + n_q + n_qr
+    if max(n_r, n_q) >= 1 << 23:
+        raise ValueError("sequence bucket exceeds 2^23; window the input")
 
     codes = jnp.concatenate([rk, qk, qrk])
     invalid = jnp.concatenate([~rvalid, ~qvalid, ~qrvalid]).astype(jnp.int32)
@@ -226,91 +236,105 @@ def find_seeds_both(
         ]
     )
 
-    invalid, codes, owner, pos = lax.sort((invalid, codes, owner, pos), num_keys=2)
+    # Sort #1: (validity, code, owner) so the segment's (unique) ref entry
+    # precedes its query entries.
+    invalid, codes, owner, pos = lax.sort((invalid, codes, owner, pos), num_keys=3)
     valid = invalid == 0
 
     idx = jnp.arange(n, dtype=jnp.int32)
     prev_code = jnp.roll(codes, 1)
     is_start = valid & ((codes != prev_code) | (idx == 0))
-    seg_start = _prefix_max(jnp.where(is_start, idx, -1))
-    nxt = jnp.where(is_start, idx, BIG)
-    nxt_after = jnp.concatenate([_suffix_min(nxt)[1:], jnp.array([BIG])])
-    seg_end = jnp.minimum(nxt_after - 1, n - 1)
+    nxt_invalid = jnp.concatenate([~valid[1:], jnp.array([True])])
+    nxt_start = jnp.concatenate([is_start[1:], jnp.array([True])])
+    is_end = valid & (nxt_start | nxt_invalid)
 
     ref_in = (owner == 0) & valid
-    cum_ref = jnp.cumsum(ref_in.astype(jnp.int32))
-    cum_refpos = jnp.cumsum(jnp.where(ref_in, pos, 0).astype(jnp.int32))
     query_in = (owner > 0) & valid
+    cum_ref = jnp.cumsum(ref_in.astype(jnp.int32))
     cum_query = jnp.cumsum(query_in.astype(jnp.int32))
 
-    def seg_sum(cum, lo, hi):
-        lo_v = jnp.where(lo > 0, cum[jnp.maximum(lo - 1, 0)], 0)
-        return cum[hi] - lo_v
+    def seg_count(cum, contrib):
+        """Per-element count of `contrib` within its segment, gather-free.
 
-    ref_count = seg_sum(cum_ref, seg_start, seg_end)
-    query_count = seg_sum(cum_query, seg_start, seg_end)
-    ref_pos_sum = seg_sum(cum_refpos, seg_start, seg_end)
+        cum is nondecreasing, so the value just before the most recent
+        segment start is a prefix-max, and the value at the segment end
+        is a suffix-min over end markers.
+        """
+        before = _prefix_max(
+            jnp.where(is_start, cum - contrib.astype(jnp.int32), -1)
+        )
+        at_end = _suffix_min(jnp.where(is_end, cum, BIG))
+        return at_end - before
 
-    is_match = valid & query_in & (ref_count == 1)
+    ref_count = seg_count(cum_ref, ref_in)
+
+    # The unique ref position: ref entries sort first within a segment, so
+    # the most recent ref element at-or-before any query element in the
+    # same segment is the segment's ref (one gather).
+    seg_start_idx = _prefix_max(jnp.where(is_start, idx, -1))
+    last_ref_idx = _prefix_max(jnp.where(ref_in, idx, -1))
+    rpos = pos[jnp.maximum(last_ref_idx, 0)]
+
+    is_match = valid & query_in & (ref_count == 1) & (last_ref_idx >= seg_start_idx)
     if unique_in_query:
         # counts both orientations: a k-mer repeated across strands is
         # not query-unique (conservative for palindromic repeats)
+        query_count = seg_count(cum_query, query_in)
         is_match = is_match & (query_count == 1)
 
-    rpos = ref_pos_sum.astype(jnp.int32)
     n_raw = jnp.sum(is_match.astype(jnp.int32))
 
-    diag = rpos - pos
-    sort_key = jnp.where(is_match, 0, 1).astype(jnp.int32)
-    _, owner_c, diag_c, rpos_c, qpos_c, match_s = lax.sort(
-        (sort_key, owner, diag, rpos, pos, is_match.astype(jnp.int32)),
-        num_keys=4,
-    )
-    mask_c = match_s == 1
-    cidx = jnp.arange(n, dtype=jnp.int32)
+    # Sort #2: one packed key (match flag | owner | diag+offset), then rpos.
+    OFF = 1 << 23
+    diag = rpos - pos + OFF  # in [0, 2^24)
+    # Non-matches collapse to the sentinel: their diag/owner fields hold
+    # garbage (segments without a ref) that must not leak into key bits.
+    key2 = jnp.where(
+        is_match, (owner << jnp.int32(24)) | diag, jnp.int32(1 << 30)
+    ).astype(jnp.int32)
+    key2, rpos_c, qpos_c = lax.sort((key2, rpos, pos), num_keys=2)
+    mask_c = key2 < (1 << 30)
+    owner_c = (key2 >> jnp.int32(24)) & 3
+    diag_c = key2 & (OFF * 2 - 1)
+    cidx = idx
 
     prev_mask = jnp.roll(mask_c, 1).at[0].set(False)
     run_start = mask_c & (
         ~prev_mask
-        | (owner_c != jnp.roll(owner_c, 1))
-        | (diag_c != jnp.roll(diag_c, 1))
+        | (key2 != jnp.roll(key2, 1))  # owner or diag change
         | (qpos_c != jnp.roll(qpos_c, 1) + 1)
     )
     next_continues = (
         jnp.roll(mask_c, -1)
-        & (jnp.roll(owner_c, -1) == owner_c)
-        & (jnp.roll(diag_c, -1) == diag_c)
+        & (jnp.roll(key2, -1) == key2)
         & (jnp.roll(qpos_c, -1) == qpos_c + 1)
     )
     is_run_end = mask_c & ((cidx == n - 1) | ~next_continues)
     run_start_idx = _prefix_max(jnp.where(run_start, cidx, -1))
     run_len_kmers = cidx - run_start_idx + 1
-    run_rpos = rpos_c[jnp.maximum(run_start_idx, 0)]
-    run_qpos = qpos_c[jnp.maximum(run_start_idx, 0)]
+    # Within a run both coordinates advance 1 per element: arithmetic, no
+    # gathers.
+    run_rpos = rpos_c - run_len_kmers + 1
+    run_qpos = qpos_c - run_len_kmers + 1
 
     n_runs = jnp.sum(is_run_end.astype(jnp.int32))
 
-    out_key = jnp.where(is_run_end, 0, 1).astype(jnp.int32)
-    _, o_owner, o_rpos, o_qpos, o_len, o_mask = lax.sort(
-        (
-            out_key,
-            owner_c,
-            run_rpos,
-            run_qpos,
-            run_len_kmers + (k - 1),
-            is_run_end.astype(jnp.int32),
-        ),
-        num_keys=1,
-        is_stable=True,
+    # Sort #3 (compaction): packed key (runend flag | owner | run_rpos).
+    key3 = jnp.where(
+        is_run_end, (owner_c << jnp.int32(24)) | run_rpos, jnp.int32(1 << 30)
+    ).astype(jnp.int32)
+    key3, o_qpos, o_len = lax.sort(
+        (key3, run_qpos, run_len_kmers + (k - 1)), num_keys=1, is_stable=True
     )
     take = min(max_seeds, n)
     cut = lambda x: lax.dynamic_slice_in_dim(x, 0, take)  # noqa: E731
+    key3_c = cut(key3)
     return SeedMatches2(
-        rpos=cut(o_rpos),
+        rpos=key3_c & (OFF * 2 - 1),
         qpos=cut(o_qpos),
         length=cut(o_len),
-        reverse=cut(o_owner) == 2,
-        mask=cut(o_mask) == 1,
+        reverse=((key3_c >> jnp.int32(24)) & 3) == 2,
+        mask=key3_c < (1 << 30),
         n_raw=n_raw,
         n_runs=n_runs,
     )

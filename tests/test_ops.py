@@ -251,3 +251,30 @@ class TestAlignPair:
         assert best.ref_range == best.query_range.abs() or best.ref_range == best.query_range
         assert entry_identity(best, self.ref, self.ref) == 1.0
         assert best.alignment_length() >= len(self.ref) * 0.99
+
+
+class TestLongSegments:
+    def test_long_segment_banded_fallback(self):
+        from paramugsy_tpu.ops.extend import align_segments
+        from paramugsy_tpu.ops.encode import encode
+
+        rng = np.random.default_rng(4)
+        a = encode(rand_dna(rng, 6000))
+        b = np.delete(a, rng.choice(6000, 30, replace=False)).copy()
+        m = rng.random(len(b)) < 0.01
+        b[m] = ((b[m] + 1) % 4).astype(np.int8)
+        out = align_segments([(a, b)])
+        rg, qg, n = out[0]
+        assert n == 6000
+        assert rg == []
+        assert sum(g.length for g in qg) == 30
+
+    def test_banded_np_matches_full_dp(self):
+        from paramugsy_tpu.ops.extend import Scoring, banded_align_np
+        from tests.test_pallas import brute_nw, path_score
+
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 4, size=90).astype(np.int8)
+        b = rng.integers(0, 4, size=70).astype(np.int8)
+        rg, qg, n = banded_align_np(a, b, width=256)
+        assert path_score(a, b, rg, qg, n) == brute_nw(a, b)
