@@ -43,6 +43,7 @@ def _align_main(argv: list[str]) -> int:
         help="join the jax.distributed world; pairs partition across hosts "
         "sharing -tmp_dir",
     )
+    ap.add_argument("-config", help="JSON config file (PipelineConfig fields)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -54,15 +55,18 @@ def _align_main(argv: list[str]) -> int:
         ap.error("no input genomes (use -seq_list or positional FASTA paths)")
 
     from paramugsy_tpu.ops.align_pair import AlignConfig
-    from paramugsy_tpu.pipeline import PipelineConfig
+    from paramugsy_tpu.pipeline import PipelineConfig, load_config
 
-    cfg = PipelineConfig(
-        max_seqs=args.seqs_per_mugsy,
-        min_length=args.minlength,
-        emit_unique=not args.skipunique,
-        align=AlignConfig(break_len=args.distance),
-        progress=(lambda m: print(m, file=sys.stderr)) if args.verbose else None,
-    )
+    if args.config:
+        cfg = load_config(args.config)
+    else:
+        cfg = PipelineConfig(
+            max_seqs=args.seqs_per_mugsy,
+            min_length=args.minlength,
+            emit_unique=not args.skipunique,
+            align=AlignConfig(break_len=args.distance),
+        )
+    cfg.progress = (lambda m: print(m, file=sys.stderr)) if args.verbose else None
     if args.sequential:
         from paramugsy_tpu.pipeline import align_fastas
 

@@ -197,3 +197,60 @@ def fasta_to_maf(fasta_path: str, fout: TextIO, score: int = 9999) -> None:
         for s in block.seqs:
             fout.write(s.to_line() + "\n")
         fout.write("\n")
+
+
+def read_xmfa(path_or_file) -> Iterator[MafBlock]:
+    """Read XMFA (the mugsyWGA --aln format) back into MAF blocks.
+
+    Inverse of maf_to_xmfa: records are ``>name start size strand
+    src_size`` + sequence lines, blocks terminated by ``=``.
+    """
+    close = False
+    if isinstance(path_or_file, (str, os.PathLike)):
+        fin: TextIO = open(path_or_file)
+        close = True
+    else:
+        fin = path_or_file
+    try:
+        seqs: list[MafSequence] = []
+        header: Optional[tuple] = None
+        chunks: list[str] = []
+
+        def flush_seq():
+            nonlocal header, chunks
+            if header is not None:
+                name, start, size, strand, src = header
+                seqs.append(
+                    MafSequence(
+                        name=name, start=start, size=size, strand=strand,
+                        src_size=src, text="".join(chunks),
+                    )
+                )
+            header, chunks = None, []
+
+        for line in fin:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if line == "=":
+                flush_seq()
+                if seqs:
+                    yield MafBlock(seqs=seqs, score=0)
+                seqs = []
+            elif line.startswith(">"):
+                flush_seq()
+                parts = line[1:].split()
+                if len(parts) != 5:
+                    raise ValueError(f"bad XMFA header: {line!r}")
+                header = (
+                    parts[0], int(parts[1]), int(parts[2]),
+                    FORWARD if parts[3] == "+" else REVERSE, int(parts[4]),
+                )
+            else:
+                chunks.append(line)
+        flush_seq()
+        if seqs:
+            yield MafBlock(seqs=seqs, score=0)
+    finally:
+        if close:
+            fin.close()

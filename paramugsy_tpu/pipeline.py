@@ -70,6 +70,37 @@ class PipelineConfig:
             self.progress(msg)
 
 
+def config_from_dict(d: dict) -> PipelineConfig:
+    """Build a PipelineConfig from a plain dict (JSON config files).
+
+    The reference injected per-cluster environment through a shell
+    template file (lib/base/script_task.ml:33-61); the TPU-native analog
+    is a declarative config file: top-level keys set PipelineConfig
+    fields, an ``align`` object sets AlignConfig fields, and
+    ``align.scoring`` the DP scores.
+    """
+    from paramugsy_tpu.ops.extend import Scoring
+
+    d = dict(d)
+    align_d = dict(d.pop("align", {}))
+    scoring_d = align_d.pop("scoring", None)
+    align = AlignConfig(**align_d)
+    if scoring_d:
+        align.scoring = Scoring(**scoring_d)
+    known = {f for f in PipelineConfig.__dataclass_fields__ if f not in ("align", "progress")}
+    unknown = set(d) - known
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    return PipelineConfig(align=align, **d)
+
+
+def load_config(path: str) -> PipelineConfig:
+    import json
+
+    with open(path) as f:
+        return config_from_dict(json.load(f))
+
+
 def genome_pair_deltas(
     a: Genome, b: Genome, cfg: AlignConfig
 ) -> list[DeltaEntry]:

@@ -88,3 +88,48 @@ class Metrics:
 
 LOGGER = Logger(enabled=False)
 METRICS = Metrics()
+
+
+class MemoryMonitor:
+    """Periodic RSS sampler (the scripts/memory_monitor.sh role).
+
+    The reference scraped `ps` for nucmer/mugsy RSS every 10 s; here a
+    daemon thread samples /proc/self/status and keeps the peak.
+    """
+
+    def __init__(self, interval_s: float = 10.0):
+        self.interval_s = interval_s
+        self.peak_rss_kb = 0
+        self.samples: list[tuple[float, int]] = []
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    @staticmethod
+    def _rss_kb() -> int:
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1])
+        except OSError:
+            pass
+        return 0
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval_s):
+            rss = self._rss_kb()
+            self.samples.append((time.time(), rss))
+            self.peak_rss_kb = max(self.peak_rss_kb, rss)
+
+    def start(self) -> "MemoryMonitor":
+        self.peak_rss_kb = self._rss_kb()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> int:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=2)
+        self.peak_rss_kb = max(self.peak_rss_kb, self._rss_kb())
+        return self.peak_rss_kb

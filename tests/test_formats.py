@@ -183,3 +183,19 @@ class TestDelta:
         w.write(de)
         w.write(de)
         assert buf.getvalue().count(">r q") == 1
+
+
+class TestXmfaReader:
+    def test_round_trip(self):
+        from paramugsy_tpu.formats.maf import read_xmfa
+
+        src = os.path.join(DATA, "highly_stitchable.maf")
+        blocks = list(read_maf(src))
+        buf = io.StringIO()
+        maf_to_xmfa(src, buf)
+        buf.seek(0)
+        back = list(read_xmfa(buf))
+        assert len(back) == len(blocks)
+        for a, b in zip(blocks, back):
+            assert [(s.name, s.start, s.size, s.strand, s.src_size, s.text) for s in a.seqs] == \
+                   [(s.name, s.start, s.size, s.strand, s.src_size, s.text) for s in b.seqs]

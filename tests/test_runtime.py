@@ -127,3 +127,55 @@ class TestExecutor:
         ex._pair_chunk_task = boom
         with pytest.raises(RuntimeError, match="injected fault"):
             ex.execute(tree)
+
+
+class TestObs:
+    def test_memory_monitor(self):
+        from paramugsy_tpu.utils.obs import MemoryMonitor
+
+        mon = MemoryMonitor(interval_s=0.05).start()
+        x = bytearray(10 * 1024 * 1024)  # 10MB
+        time.sleep(0.2)
+        peak = mon.stop()
+        assert peak > 10 * 1024  # at least 10MB RSS
+        del x
+
+    def test_metrics_phases(self):
+        from paramugsy_tpu.utils.obs import Metrics
+
+        m = Metrics()
+        with m.phase("align", items=5):
+            pass
+        with m.phase("align", items=3):
+            pass
+        assert m.phases["align"].count == 2
+        assert m.phases["align"].total_items == 8
+        assert "align" in m.report()
+
+
+class TestConfigFile:
+    def test_load_config(self, tmp_path):
+        import json
+
+        from paramugsy_tpu.pipeline import load_config
+
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps({
+            "min_length": 50,
+            "emit_unique": False,
+            "align": {"k": 14, "break_len": 300, "scoring": {"match": 3}},
+        }))
+        cfg = load_config(str(p))
+        assert cfg.min_length == 50 and not cfg.emit_unique
+        assert cfg.align.k == 14 and cfg.align.break_len == 300
+        assert cfg.align.scoring.match == 3
+
+    def test_unknown_key_rejected(self, tmp_path):
+        import json
+
+        from paramugsy_tpu.pipeline import load_config
+
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps({"not_a_field": 1}))
+        with pytest.raises(ValueError):
+            load_config(str(p))
