@@ -220,26 +220,23 @@ def find_seeds_both(
         raise ValueError("sequence bucket exceeds 2^23; window the input")
 
     codes = jnp.concatenate([rk, qk, qrk])
-    invalid = jnp.concatenate([~rvalid, ~qvalid, ~qrvalid]).astype(jnp.int32)
-    owner = jnp.concatenate(
-        [
-            jnp.zeros(n_r, jnp.int32),
-            jnp.ones(n_q, jnp.int32),
-            jnp.full(n_qr, 2, jnp.int32),
-        ]
-    )
-    pos = jnp.concatenate(
+    invalid = jnp.concatenate([~rvalid, ~qvalid, ~qrvalid]).astype(jnp.uint8)
+    # owner|pos packed into one int32 (2 + 23 bits) so sort #1 moves one
+    # operand less; packing also makes (code, packed) ordering place the
+    # ref entry (owner 0) first within each segment.
+    packed = jnp.concatenate(
         [
             jnp.arange(n_r, dtype=jnp.int32),
-            jnp.arange(n_q, dtype=jnp.int32),
-            jnp.arange(n_qr, dtype=jnp.int32),
+            (1 << 23) | jnp.arange(n_q, dtype=jnp.int32),
+            (2 << 23) | jnp.arange(n_qr, dtype=jnp.int32),
         ]
     )
 
-    # Sort #1: (validity, code, owner) so the segment's (unique) ref entry
-    # precedes its query entries.
-    invalid, codes, owner, pos = lax.sort((invalid, codes, owner, pos), num_keys=3)
+    # Sort #1: (validity, code, owner+pos).
+    invalid, codes, packed = lax.sort((invalid, codes, packed), num_keys=3)
     valid = invalid == 0
+    owner = packed >> jnp.int32(23)
+    pos = packed & ((1 << 23) - 1)
 
     idx = jnp.arange(n, dtype=jnp.int32)
     prev_code = jnp.roll(codes, 1)

@@ -147,3 +147,36 @@ class TestEndToEnd:
             assert len(widths) == 1
             for s in b.seqs:
                 assert len(s.text.replace("-", "")) == s.size
+
+
+class TestEightGenomes:
+    def test_deep_tree(self, tmp_path):
+        """Three-level merge tree: 8 genomes, coverage + content invariants."""
+        rng = np.random.default_rng(77)
+        anc = rand_dna(rng, 2500)
+        genomes = {}
+        paths = []
+        for i in range(8):
+            g = mutate(rng, anc, sub=0.015, indels=2)
+            name = f"s{i}"
+            (tmp_path / f"{name}.fasta").write_text(f">chr\n{g}\n")
+            genomes[f"{name}.chr"] = g
+            paths.append(str(tmp_path / f"{name}.fasta"))
+        blocks = align_fastas(paths, str(tmp_path / "o.maf"), PipelineConfig())
+        from paramugsy_tpu.tools.mafvalidate import find_faults
+
+        assert find_faults(blocks) == []
+        # deep-tree content check: every row still carries true sequence
+        for b in blocks:
+            for s in b.seqs:
+                bare = s.text.replace("-", "")
+                g = genomes[s.name]
+                expect = (
+                    g[s.start : s.start + s.size]
+                    if s.strand == 1
+                    else g.translate(_COMP)[::-1][s.start : s.start + s.size]
+                )
+                assert bare == expect
+        # most of the alignment should be 8-way
+        total8 = sum(len(b.seqs[0].text) for b in blocks if len(b.seqs) == 8)
+        assert total8 > 0.5 * len(anc), f"8-way core only {total8}bp"
