@@ -284,3 +284,179 @@ def banded_align(
         )
     )
     return traceback_band(dirs, a_len, b_len, width)
+
+
+# ---------------------------------------------------------------------------
+# Sublane-batched variant: 8 independent segment pairs per vector op.
+# ---------------------------------------------------------------------------
+
+BATCH = 8
+
+
+def _band_kernel_batch(
+    a_ref,
+    b_new_ref,
+    b_init_ref,
+    blen_ref,
+    dirs_ref,
+    prev_ref,
+    bwin_ref,
+    *,
+    width,
+    chunk,
+    match,
+    mismatch,
+    gap,
+):
+    """Batched grid step: CHUNK rows of BATCH independent banded DPs.
+
+    Identical recurrence to `_band_kernel`, with the 8 VPU sublanes each
+    carrying one pair: rolls act on the lane axis only, so pairs never
+    mix.  a/b character streams are (BATCH, chunk) VMEM blocks; per-pair
+    query lengths live in a (BATCH, 1) block.
+    """
+    step = pl.program_id(0)
+    half = width // 2
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (BATCH, width), 1)
+    b_len = blen_ref[:, :]  # (BATCH, 1)
+
+    @pl.when(step == 0)
+    def _():
+        j0 = lanes - half
+        prev_ref[:, :] = jnp.where((j0 >= 0) & (j0 <= b_len), gap * j0, NEG).astype(
+            jnp.int32
+        )
+        bwin_ref[:, :] = b_init_ref[:, :]
+
+    def row_body(r):
+        i = step * chunk + r + 1
+        prev = prev_ref[:, :]
+        j = i + lanes - half
+        valid = (j >= 1) & (j <= b_len)
+
+        b_col = b_new_ref[:, r].reshape(BATCH, 1)
+        b_here = jnp.where(
+            lanes == width - 1, b_col, pltpu.roll(bwin_ref[:, :], width - 1, 1)
+        )
+        bwin_ref[:, :] = b_here
+
+        a_col = a_ref[:, r].reshape(BATCH, 1)
+        sub = jnp.where(b_here == a_col, match, mismatch)
+        diag_term = prev + sub
+        up_term = jnp.where(
+            lanes < width - 1, pltpu.roll(prev, width - 1, 1) + gap, NEG
+        )
+
+        cand = jnp.maximum(diag_term, up_term)
+        cand = jnp.where((j == 0), jnp.maximum(cand, gap * i), cand)
+        cand = jnp.where(valid | (j == 0), cand, NEG)
+
+        gj = gap * j
+        run = _prefix_max(cand - gj, width, lanes)
+        dp = jnp.where(valid, run + gj, jnp.where(j == 0, gap * i, NEG))
+
+        d = jnp.full((BATCH, width), LEFT, dtype=jnp.int32)
+        d = jnp.where(dp == up_term, UP, d)
+        d = jnp.where(dp == diag_term, DIAG, d)
+        dirs_ref[r, :, :] = d.astype(jnp.uint8)
+        prev_ref[:, :] = dp
+
+    for r in range(chunk):
+        row_body(r)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "chunk", "match", "mismatch", "gap", "interpret")
+)
+def banded_dp_batch(
+    a,
+    b_new,
+    b_init,
+    b_len,
+    *,
+    width: int = 512,
+    chunk: int = 128,
+    match: int = 2,
+    mismatch: int = -3,
+    gap: int = -4,
+    interpret: bool = False,
+):
+    """Batched banded DP: a/b_new (BATCH, rows), b_init (BATCH, width),
+    b_len (BATCH, 1).  Returns dirs [rows, BATCH, width] uint8."""
+    rows = a.shape[1]
+    assert a.shape[0] == BATCH and rows % chunk == 0 and chunk % 128 == 0
+    grid = (rows // chunk,)
+    kernel = functools.partial(
+        _band_kernel_batch,
+        width=width, chunk=chunk, match=match, mismatch=mismatch, gap=gap,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BATCH, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BATCH, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (chunk, BATCH, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, BATCH, width), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((BATCH, width), jnp.int32),
+            pltpu.VMEM((BATCH, width), jnp.int32),
+        ],
+        interpret=interpret,
+    )(a, b_new, b_init, b_len)
+
+
+def banded_align_batch(
+    pairs: list[tuple[np.ndarray, np.ndarray]],
+    *,
+    width: int = 512,
+    chunk: int = 128,
+    match: int = 2,
+    mismatch: int = -3,
+    gap: int = -4,
+    interpret: bool = False,
+):
+    """Align up to BATCH (a, b) pairs in one kernel launch.
+
+    Returns a list of (ref_gap_runs, query_gap_runs, n_columns).
+    """
+    if not 1 <= len(pairs) <= BATCH:
+        raise ValueError(f"1..{BATCH} pairs per launch")
+    half = width // 2
+    for a, b in pairs:
+        if abs(len(a) - len(b)) >= half:
+            raise ValueError("length difference exceeds band")
+    rows = max(len(a) for a, _ in pairs)
+    rows = -(-max(rows, 1) // chunk) * chunk
+    A = np.full((BATCH, rows), 4, dtype=np.int32)
+    B_new = np.full((BATCH, rows), 4, dtype=np.int32)
+    B_init = np.full((BATCH, width), 4, dtype=np.int32)
+    B_len = np.zeros((BATCH, 1), dtype=np.int32)
+    for p, (a, b) in enumerate(pairs):
+        A[p, : len(a)] = a
+        b_pad = np.full(len(b) + 2 * width, 4, dtype=np.int32)
+        b_pad[width : width + len(b)] = b
+        idx_new = np.arange(1, rows + 1) + half - 2 + width
+        B_new[p] = b_pad[np.minimum(idx_new, len(b_pad) - 1)]
+        B_init[p] = b_pad[width - half - 1 : width + half - 1]
+        B_len[p, 0] = len(b)
+    dirs = np.asarray(
+        banded_dp_batch(
+            jnp.asarray(A),
+            jnp.asarray(B_new),
+            jnp.asarray(B_init),
+            jnp.asarray(B_len),
+            width=width, chunk=chunk,
+            match=match, mismatch=mismatch, gap=gap,
+            interpret=interpret,
+        )
+    )
+    return [
+        traceback_band(dirs[:, p, :], len(a), len(b), width)
+        for p, (a, b) in enumerate(pairs)
+    ]

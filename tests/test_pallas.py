@@ -83,3 +83,22 @@ class TestBandedDP:
         b = np.zeros(0, np.int8)
         rg, qg, n = banded_align(a, b, width=256, chunk=128, interpret=True)
         assert n == 3 and qg[0].length == 3 and rg == []
+
+
+class TestBatchedKernel:
+    def test_batch_matches_single(self):
+        rng = np.random.default_rng(3)
+        pairs = []
+        for _ in range(5):
+            la = int(rng.integers(40, 200))
+            a = rng.integers(0, 4, size=la).astype(np.int8)
+            b = np.delete(a, rng.choice(la, 3, replace=False)).copy()
+            m = rng.random(len(b)) < 0.05
+            b[m] = ((b[m] + 1) % 4).astype(np.int8)
+            pairs.append((a, b))
+        from paramugsy_tpu.ops.pallas_extend import banded_align_batch
+
+        batch = banded_align_batch(pairs, width=256, chunk=128, interpret=True)
+        for (a, b), got in zip(pairs, batch):
+            single = banded_align(a, b, width=256, chunk=128, interpret=True)
+            assert got == single
