@@ -139,3 +139,91 @@ int pm_nw_align_batch(const int8_t* a, const int32_t* a_len,
 int pm_version() { return 1; }
 
 }  // extern "C"
+
+extern "C" {
+
+// Banded global alignment of one pair (band layout identical to the
+// Pallas kernel: lane w of row i is column j = i + w - W/2).  Emits gap
+// runs like pm_nw_align_batch.  dirs scratch is allocated internally.
+// Returns columns, or -1 on run overflow.
+int32_t pm_banded_align(const int8_t* a, int32_t an, const int8_t* b,
+                        int32_t bn, int32_t width, int32_t match,
+                        int32_t mismatch, int32_t gap, int32_t* runs,
+                        int32_t max_runs, int32_t* n_runs) {
+  const int32_t half = width / 2;
+  std::vector<int32_t> prev(width), cur(width);
+  std::vector<uint8_t> dirs((size_t)an * width);
+  for (int32_t w = 0; w < width; ++w) {
+    int32_t j0 = w - half;
+    prev[w] = (j0 >= 0 && j0 <= bn) ? gap * j0 : NEG;
+  }
+  for (int32_t i = 1; i <= an; ++i) {
+    uint8_t* drow = dirs.data() + (size_t)(i - 1) * width;
+    const int8_t ai = a[i - 1];
+    int32_t best_chain = NEG;  // running max of (cand[v] - gap*j(v))
+    for (int32_t w = 0; w < width; ++w) {
+      int32_t j = i + w - half;
+      bool valid = (j >= 1 && j <= bn);
+      int32_t diag_term = NEG, up_term = NEG;
+      if (valid || j == 0) {
+        int32_t sub = (j >= 1 && j <= bn && b[j - 1] == ai) ? match : mismatch;
+        diag_term = prev[w] + sub;
+        up_term = (w < width - 1) ? prev[w + 1] + gap : NEG;
+      }
+      int32_t cand = std::max(diag_term, up_term);
+      if (j == 0) cand = std::max(cand, gap * i);
+      if (!valid && j != 0) cand = NEG;
+      int32_t u = cand - gap * j;
+      if (u > best_chain) best_chain = u;
+      int32_t dp = valid ? best_chain + gap * j : (j == 0 ? gap * i : NEG);
+      uint8_t d = LEFT;
+      if (dp == up_term) d = UP;
+      if (dp == diag_term) d = DIAG;
+      drow[w] = d;
+      cur[w] = dp;
+    }
+    std::swap(prev, cur);
+  }
+  // traceback
+  int32_t i = an, j = bn;
+  std::vector<uint8_t> cols;
+  cols.reserve(an + bn);
+  while (i > 0 || j > 0) {
+    uint8_t d;
+    if (i == 0) d = LEFT;
+    else if (j == 0) d = UP;
+    else {
+      int32_t w = j - i + half;
+      if (w < 0) d = UP;
+      else if (w >= width) d = LEFT;
+      else d = dirs[(size_t)(i - 1) * width + w];
+    }
+    cols.push_back(d);
+    if (d == DIAG) { --i; --j; }
+    else if (d == UP) { --i; }
+    else { --j; }
+  }
+  std::reverse(cols.begin(), cols.end());
+  int32_t n = (int32_t)cols.size();
+  int32_t nr = 0;
+  int32_t start = -1;
+  uint8_t kind = DIAG;
+  for (int32_t c = 0; c <= n; ++c) {
+    uint8_t kk = (c < n) ? cols[c] : DIAG;
+    if (kk != kind) {
+      if (kind != DIAG && nr < max_runs) {
+        runs[nr * 3 + 0] = (kind == LEFT) ? 0 : 1;
+        runs[nr * 3 + 1] = start + 1;
+        runs[nr * 3 + 2] = c;
+        ++nr;
+      }
+      if (kk != DIAG) start = c;
+      kind = kk;
+    }
+  }
+  *n_runs = nr;
+  if (nr >= max_runs) return -1;
+  return n;
+}
+
+}  // extern "C"

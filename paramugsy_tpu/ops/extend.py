@@ -239,19 +239,20 @@ def banded_align_np(
 def align_long_segment(
     a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring()
 ):
-    """Route one long segment: Pallas banded DP on an accelerator, NumPy
-    banded DP otherwise.  Band width grows with the length difference."""
+    """Route one long segment through the banded engines.
+
+    Preference order: native C++ banded (fastest per core today), NumPy
+    banded mirror, with the Pallas device kernel available explicitly via
+    PARAMUGSY_DEVICE_DP=1 (correct on hardware; per-row overhead makes it
+    slower than the native path on current toolchains — see
+    ops/pallas_extend.py).  Band width grows with the length difference.
+    """
+    import os
+
     width = 512
     while abs(len(a) - len(b)) >= width // 2:
         width *= 2
-    use_device = False
-    try:
-        import jax
-
-        use_device = jax.default_backend() != "cpu"
-    except Exception:
-        use_device = False
-    if use_device:
+    if os.environ.get("PARAMUGSY_DEVICE_DP") == "1":
         try:
             from paramugsy_tpu.ops.pallas_extend import banded_align
 
@@ -261,4 +262,15 @@ def align_long_segment(
             )
         except Exception:
             pass
+    try:
+        from paramugsy_tpu.ops.native import banded_align_native
+
+        out = banded_align_native(
+            np.asarray(a), np.asarray(b), width,
+            scoring.match, scoring.mismatch, scoring.gap,
+        )
+        if out is not None:
+            return out
+    except Exception:
+        pass
     return banded_align_np(a, b, width=width, scoring=scoring)

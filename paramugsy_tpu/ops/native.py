@@ -104,3 +104,41 @@ def nw_align_batch_native(
     if rc != 0:
         return None
     return cols, nruns, runs
+
+
+def banded_align_native(
+    a: np.ndarray, b: np.ndarray, width: int, match: int, mismatch: int, gap: int
+):
+    """C++ banded alignment; returns (ref_runs, query_runs, n) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_banded_configured"):
+        lib.pm_banded_align.restype = ctypes.c_int32
+        lib.pm_banded_align.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib._banded_configured = True
+    a = np.ascontiguousarray(a, dtype=np.int8)
+    b = np.ascontiguousarray(b, dtype=np.int8)
+    max_runs = len(a) + len(b) + 2
+    runs = np.zeros((max_runs, 3), dtype=np.int32)
+    n_runs = np.zeros(1, dtype=np.int32)
+    n = lib.pm_banded_align(
+        _ptr(a, ctypes.c_int8), len(a),
+        _ptr(b, ctypes.c_int8), len(b),
+        width, match, mismatch, gap,
+        _ptr(runs, ctypes.c_int32), max_runs, _ptr(n_runs, ctypes.c_int32),
+    )
+    if n < 0:
+        return None
+    from paramugsy_tpu.coords.range import Range
+
+    rr = runs[: n_runs[0]]
+    ref_runs = [Range(int(s), int(e)) for side, s, e in rr if side == 0]
+    query_runs = [Range(int(s), int(e)) for side, s, e in rr if side == 1]
+    return ref_runs, query_runs, int(n)
