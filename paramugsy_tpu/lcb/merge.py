@@ -26,7 +26,7 @@ from paramugsy_tpu.formats.delta import DeltaEntry
 from paramugsy_tpu.formats.delta_maf import delta_to_maf_blocks
 from paramugsy_tpu.formats.maf import MafBlock, MafSequence
 from paramugsy_tpu.profiles.make import consensus_text, profiles_of_block
-from paramugsy_tpu.profiles.translate import translate_deltas
+from paramugsy_tpu.profiles.native_translate import translate_deltas_fast as translate_deltas
 from paramugsy_tpu.profiles.untranslate import untranslate_blocks
 
 

@@ -209,6 +209,8 @@ def translate(
     sides, streams each delta file, writes one merged delta stream.
     Returns the number of entries written.
     """
+    from paramugsy_tpu.profiles.native_translate import translate_deltas_fast
+
     left = read_profile_set(os.path.join(left_dir, "profiles"), lite=True)
     right = read_profile_set(os.path.join(right_dir, "profiles"), lite=True)
     writer = DeltaWriter(out_stream, left_dir, right_dir, legacy_errors=legacy_errors)
@@ -218,7 +220,7 @@ def translate(
         for path in nucmer_list:
             yield from read_delta(path)
 
-    for entry in translate_deltas(left, right, delta_stream()):
+    for entry in translate_deltas_fast(left, right, delta_stream()):
         writer.write(entry)
         n += 1
     return n

@@ -88,13 +88,29 @@ class JobExecutor:
         return out
 
     def _submit_pairs(self, pairs, priority) -> list[Future]:
-        return [
+        # Pairs owned by another host are *waited for*, never computed —
+        # and a wait must not occupy a bounded scheduler slot, or two
+        # hosts can deadlock with all slots blocked on each other.
+        if self.ownership is not None and self.store is not None:
+            owned = [
+                p for p in pairs
+                if self.store.has_pair(*p) or self.ownership.owns(*p)
+            ]
+            waited = [p for p in pairs if p not in owned]
+        else:
+            owned, waited = list(pairs), []
+        futs = [
             self.sched.submit(
                 self._pair_chunk_task, chunk, priority=priority,
                 name=f"pairs[{len(chunk)}]",
             )
-            for chunk in _chunks(pairs, self.chunk_size)
+            for chunk in _chunks(owned, self.chunk_size)
         ]
+        if waited:
+            futs.append(
+                spawn(self._pair_chunk_task, waited, name="pairs-wait")
+            )
+        return futs
 
     def _merge_node(
         self,

@@ -385,3 +385,36 @@ class TestEndToEndMerge:
                     expect = revcomp(g)[s.start : s.start + s.size]
                 assert bare == expect, f"row {s.name} text != genome substring"
         assert n_rows >= 2 * len(out_blocks)
+
+
+class TestNativeTranslate:
+    """The C++ translate core must match the Python implementation exactly."""
+
+    def test_randomized_equality(self):
+        from paramugsy_tpu.profiles.native_translate import translate_deltas_native
+        from paramugsy_tpu.profiles.translate import translate_deltas
+
+        rng = np.random.default_rng(123)
+        for _ in range(60):
+            lps = [random_profile(rng, "L1", f"l.l_{i:04d}")
+                   for i in range(int(rng.integers(1, 4)))]
+            rps = [random_profile(rng, "R1", f"r.r_{i:04d}")
+                   for i in range(int(rng.integers(1, 4)))]
+            deltas = [random_delta(rng) for _ in range(int(rng.integers(1, 4)))]
+            py = list(translate_deltas(lps, rps, deltas))
+            nat = translate_deltas_native(lps, rps, deltas)
+            if nat is None:
+                pytest.skip("native library unavailable")
+            assert py == nat
+
+    def test_fast_wrapper_falls_back(self):
+        from paramugsy_tpu.profiles.native_translate import translate_deltas_fast
+        from paramugsy_tpu.profiles.translate import translate_deltas
+
+        rng = np.random.default_rng(5)
+        lps = [random_profile(rng, "L1", "l.l_0000")]
+        rps = [random_profile(rng, "R1", "r.r_0000")]
+        deltas = [random_delta(rng)]
+        assert list(translate_deltas_fast(lps, rps, deltas)) == list(
+            translate_deltas(lps, rps, deltas)
+        )
