@@ -189,3 +189,36 @@ class TestCli:
         entries = list(read_delta(str(out_delta)))
         assert entries and entries[0].ref_range.length >= 1700
         assert list(read_maf(str(out_maf)))
+
+
+class TestCliEdges:
+    def run_cli(self, *args):
+        from paramugsy_tpu.cli import main
+
+        return main(list(args))
+
+    def test_seq_list_input(self, tmp_path):
+        rng = np.random.default_rng(2)
+        s = "".join(np.array(list("ACGT"))[rng.integers(4, size=1500)])
+        a = tmp_path / "a.fasta"; a.write_text(f">c\n{s}\n")
+        b = tmp_path / "b.fasta"; b.write_text(f">c\n{s[50:1450]}\n")
+        lst = tmp_path / "seqs.txt"
+        lst.write_text(f"{a}\n{b}\n")
+        out = tmp_path / "o.maf"
+        assert self.run_cli("align", "-seq_list", str(lst), "-out_maf", str(out)) == 0
+        assert list(read_maf(str(out)))
+
+    def test_single_genome(self, tmp_path):
+        fa = tmp_path / "solo.fasta"
+        fa.write_text(">c1\nACGTACGTAC\n>c2\nTTTTCCCC\n")
+        out = tmp_path / "solo.maf"
+        assert self.run_cli("align", str(fa), "-out_maf", str(out)) == 0
+        blocks = list(read_maf(str(out)))
+        assert len(blocks) == 2  # one block per contig
+        assert {b.seqs[0].name for b in blocks} == {"solo.c1", "solo.c2"}
+
+    def test_no_input_errors(self, capsys):
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit):
+            self.run_cli("align", "-out_maf", "/tmp/x.maf")
