@@ -200,12 +200,20 @@ class Aligner:
         return self.run_node(tree)
 
 
+def finalize_blocks(blocks: list[MafBlock]) -> list[MafBlock]:
+    """Assign sequential LCB labels (the reference's ``label=`` ids)."""
+    for i, b in enumerate(blocks):
+        b.attrs["label"] = str(i + 1)
+        b.attrs["mult"] = str(len(b.seqs))
+    return blocks
+
+
 def align_fastas(
     fasta_paths: list[str], out_maf: str, cfg: PipelineConfig | None = None
 ) -> list[MafBlock]:
     """CLI-level entry: FASTA files -> MAF file."""
     genomes = [load_genome(p) for p in fasta_paths]
     aligner = Aligner(genomes, cfg)
-    blocks = aligner.run()
+    blocks = finalize_blocks(aligner.run())
     write_maf(out_maf, blocks, header=MAF_HEADER)
     return blocks

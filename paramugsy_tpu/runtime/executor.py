@@ -229,6 +229,8 @@ def align_fastas_concurrent(
         genomes, cfg, run_size=run_size, chunk_size=chunk_size,
         store=store, ownership=ownership,
     )
-    blocks = ex.execute(tree)
+    from paramugsy_tpu.pipeline import finalize_blocks
+
+    blocks = finalize_blocks(ex.execute(tree))
     write_maf(out_maf, blocks, header=MAF_HEADER)
     return blocks
