@@ -33,6 +33,14 @@ class MafStats:
     aligned_bp: dict = field(default_factory=dict)  # genome -> bp in multi blocks
     unique_bp: dict = field(default_factory=dict)  # genome -> bp in single blocks
     totals: dict = field(default_factory=dict)  # genome -> total length
+    # Alignment quality: sum-of-pairs identity over multi-row blocks
+    # (agreeing base pairs / compared base pairs, gaps excluded).
+    sp_pairs_compared: int = 0
+    sp_pairs_agree: int = 0
+
+    @property
+    def sp_identity(self) -> float:
+        return self.sp_pairs_agree / self.sp_pairs_compared if self.sp_pairs_compared else 0.0
 
 
 def compute_stats(maf_path_or_blocks) -> MafStats:
@@ -60,6 +68,13 @@ def compute_stats(maf_path_or_blocks) -> MafStats:
         ).reshape(len(b.seqs), -1)
         no_gap = (mat != ord("-")).all(axis=0).sum()
         core_cols.append((len(genomes_here), int(no_gap)))
+        if len(b.seqs) > 1:
+            present = mat != ord("-")
+            for i in range(len(b.seqs)):
+                for j in range(i + 1, len(b.seqs)):
+                    both = present[i] & present[j]
+                    st.sp_pairs_compared += int(both.sum())
+                    st.sp_pairs_agree += int((both & (mat[i] == mat[j])).sum())
 
     st.num_genomes = len(all_genomes)
     st.core_bp = sum(bp for n, bp in core_cols if n == st.num_genomes)
@@ -77,6 +92,7 @@ def write_stats(st: MafStats, out_dir: str) -> None:
         f.write(f"num_genomes\t{st.num_genomes}\n")
         f.write(f"core\t{st.core_bp}\n")
         f.write(f"shortest_genome_len\t{st.shortest_genome}\n")
+        f.write(f"sp_identity\t{st.sp_identity:.4f}\n")
     with open(os.path.join(out_dir, "missing"), "w") as f:
         f.write("genome\taligned\tunique\ttotal\tmissing\n")
         for g in sorted(st.totals):

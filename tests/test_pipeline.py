@@ -180,3 +180,27 @@ class TestEightGenomes:
         # most of the alignment should be 8-way
         total8 = sum(len(b.seqs[0].text) for b in blocks if len(b.seqs) == 8)
         assert total8 > 0.5 * len(anc), f"8-way core only {total8}bp"
+
+
+class TestQuality:
+    def test_sp_identity_tracks_true_divergence(self, tmp_path):
+        """Aligned columns must be true homologs: SP identity ~= sequence
+        identity implied by the planted mutation rate."""
+        from paramugsy_tpu.pipeline import Aligner, Genome
+        from paramugsy_tpu.tools.mafstat import compute_stats
+
+        rng = np.random.default_rng(9)
+        n = 6000
+        anc = rand_dna(rng, n)
+        rate = 0.01
+        genomes = []
+        for i in range(4):
+            s = list(anc)
+            for j in rng.choice(n, int(n * rate), replace=False):
+                s[j] = "ACGT"[rng.integers(4)]
+            genomes.append(Genome(f"q{i}", {f"q{i}.chr": "".join(s)}))
+        blocks = Aligner(genomes, PipelineConfig()).run()
+        st = compute_stats(blocks)
+        # expected pairwise identity ~ (1 - 2*rate*(3/4 correction)) ~ 0.985
+        assert st.sp_identity > 0.97
+        assert st.sp_pairs_compared > 0.9 * 6 * n  # near-full 4-way coverage
