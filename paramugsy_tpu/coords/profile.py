@@ -21,7 +21,7 @@ variants map whole index arrays at once for the device pipeline.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from typing import Iterable, Optional, TextIO
 
 import numpy as np

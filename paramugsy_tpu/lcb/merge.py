@@ -17,7 +17,6 @@ lib/mugsy/mugsy_mugsy.ml:125-144).
 from __future__ import annotations
 
 from bisect import bisect_left, insort
-from dataclasses import dataclass
 from typing import Iterable, Sequence
 
 from paramugsy_tpu.coords.profile import Profile

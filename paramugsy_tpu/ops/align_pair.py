@@ -20,7 +20,6 @@ from paramugsy_tpu.formats.delta import DeltaEntry
 from paramugsy_tpu.ops.chaining import chain_clusters, cluster_seeds
 from paramugsy_tpu.ops.encode import encode, revcomp_codes
 from paramugsy_tpu.ops.extend import Scoring, align_segments
-from paramugsy_tpu.ops.seeding import find_seeds
 
 
 @dataclass
@@ -58,7 +57,6 @@ def _chain_seeds_all(ref_codes, q_codes, q_rc_codes, cfg: AlignConfig):
         unique_in_query=cfg.unique_in_query,
     )
     base_keep = seeds.mask & (seeds.length >= cfg.min_match)
-    s_reverse = np.array(seeds.reverse)
 
     out: list[RawChain] = []
     for reverse in (False, True):
@@ -174,7 +172,6 @@ def _entries_of_chain(
         ref_gaps: list[Range] = []
         query_gaps: list[Range] = []
         col = 0  # columns emitted so far
-        col_err = 0
         for i, si in enumerate(part):
             if i > 0:
                 rg, qg, n = seg_results[seg_map[(pi, i)]]

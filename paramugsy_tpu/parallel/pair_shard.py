@@ -16,7 +16,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from paramugsy_tpu.ops.chaining import cluster_seeds
 from paramugsy_tpu.ops.seeding import find_seeds

@@ -13,7 +13,7 @@ coordinates are the blocks' profile (column) indices.
 from __future__ import annotations
 
 import os
-from typing import Iterable, Iterator
+from typing import Iterator
 
 import numpy as np
 

@@ -21,7 +21,7 @@ from typing import Iterable, Iterator, Sequence
 import numpy as np
 
 from paramugsy_tpu.coords.profile import Profile
-from paramugsy_tpu.coords.range import FORWARD, REVERSE, Range
+from paramugsy_tpu.coords.range import Range
 from paramugsy_tpu.formats.maf import MafBlock, MafSequence, read_maf
 
 _COMPLEMENT = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Iterable, Optional
+from typing import Iterable
 
 from paramugsy_tpu.formats.delta import DeltaEntry, DeltaWriter, read_delta
 from paramugsy_tpu.formats.maf import MAF_HEADER, MafBlock, read_maf, write_maf

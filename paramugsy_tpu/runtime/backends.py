@@ -19,7 +19,6 @@ Here the seam is a Backend protocol over Python callables:
 from __future__ import annotations
 
 import threading
-import time
 from concurrent.futures import Future
 from typing import Callable, Protocol
 

@@ -14,7 +14,6 @@ Reproduces the reference engine's structure (lib/base/job_processor.ml):
 from __future__ import annotations
 
 from concurrent.futures import Future
-from dataclasses import dataclass
 from typing import Callable, Optional
 
 from paramugsy_tpu.formats.maf import MafBlock
@@ -27,7 +26,7 @@ from paramugsy_tpu.pipeline import (
 )
 from paramugsy_tpu.lcb.merge import merge_blocks
 from paramugsy_tpu.runtime.scheduler import PriorityScheduler, spawn
-from paramugsy_tpu.tree.job_tree import JobTree, make_job_tree
+from paramugsy_tpu.tree.job_tree import JobTree
 
 
 def _chunks(xs: list, size: int) -> list[list]:

@@ -13,7 +13,7 @@ import heapq
 import itertools
 import threading
 from concurrent.futures import Future
-from typing import Callable, Optional
+from typing import Callable
 
 
 class PriorityScheduler:
