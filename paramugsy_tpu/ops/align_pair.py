@@ -34,6 +34,9 @@ class AlignConfig:
     max_clusters: int = 4096
     unique_in_query: bool = False  # nucmer --mum vs --mumreference
     scoring: Scoring = field(default_factory=Scoring)
+    # Post-processing of each pair's entries (the mugsy_nucmer -delta_pp
+    # hook): None, "one_to_one" (delta-filter -1) or "colinear" (-m).
+    post_filter: str | None = None
 
 
 @dataclass
@@ -234,6 +237,12 @@ def align_pair(
             _entries_of_chain(chain, ref_np, qn, ref_name, query_name, n_q, cfg)
         )
     entries.sort(key=lambda e: (e.ref_range.abs().start, e.ref_range.abs().end))
+    if cfg.post_filter == "one_to_one":
+        entries = filter_one_to_one(entries)
+    elif cfg.post_filter == "colinear":
+        entries = filter_colinear(entries)
+    elif cfg.post_filter:
+        raise ValueError(f"unknown post_filter: {cfg.post_filter}")
     return entries
 
 

@@ -46,6 +46,7 @@ class JobExecutor:
         on_task: Optional[Callable[[str, str], None]] = None,
         store=None,  # runtime.artifacts.ArtifactStore
         ownership=None,  # runtime.artifacts.PairOwnership
+        retries: int = 1,  # pair-task attempts (local_interface.ml retry role)
     ):
         self.cfg = cfg or PipelineConfig()
         self.genomes = {g.name: g for g in genomes}
@@ -55,6 +56,7 @@ class JobExecutor:
         self._on_task = on_task or (lambda phase, name: None)
         self.store = store
         self.ownership = ownership
+        self.retries = max(1, retries)
 
     def _next_uid(self) -> str:
         self._uid += 1
@@ -83,7 +85,13 @@ class JobExecutor:
     def _pair_chunk_task(self, pairs: list[tuple[str, str]]):
         out = []
         for a, b in pairs:
-            out.extend(self._pair_deltas(a, b))
+            for attempt in range(self.retries):
+                try:
+                    out.extend(self._pair_deltas(a, b))
+                    break
+                except Exception:
+                    if attempt + 1 >= self.retries:
+                        raise
         return out
 
     def _submit_pairs(self, pairs, priority) -> list[Future]:

@@ -112,3 +112,47 @@ class TestRobustness:
         entries = align_pair(a, b, "a.c", "b.c")
         total = sum(e.ref_range.length for e in entries)
         assert total < 300, "random sequences should produce little alignment"
+
+
+class TestPostFilterAndRetries:
+    def test_post_filter_one_to_one(self):
+        from paramugsy_tpu.ops.align_pair import AlignConfig, align_pair
+
+        rng = np.random.default_rng(12)
+        s = rand_dna(rng, 3000)
+        cfg = AlignConfig(post_filter="one_to_one")
+        entries = align_pair(s, s, "a.c", "b.c", cfg)
+        last = 0
+        for e in entries:
+            assert e.ref_range.abs().start > last
+            last = e.ref_range.abs().end
+
+    def test_post_filter_unknown_raises(self):
+        from paramugsy_tpu.ops.align_pair import AlignConfig, align_pair
+
+        with pytest.raises(ValueError):
+            align_pair("ACGT" * 200, "ACGT" * 200, "a", "b",
+                       AlignConfig(post_filter="bogus"))
+
+    def test_executor_retries_transient_faults(self):
+        from paramugsy_tpu.pipeline import Aligner, Genome, PipelineConfig
+        from paramugsy_tpu.runtime.executor import JobExecutor
+
+        rng = np.random.default_rng(3)
+        s = rand_dna(rng, 2000)
+        genomes = [Genome("a", {"a.c": s}), Genome("b", {"b.c": s})]
+        cfg = PipelineConfig()
+        ex = JobExecutor(genomes, cfg, run_size=2, retries=3)
+        fails = {"n": 0}
+        orig = ex._pair_deltas
+
+        def flaky(a, b):
+            if fails["n"] < 2:
+                fails["n"] += 1
+                raise RuntimeError("transient device error")
+            return orig(a, b)
+
+        ex._pair_deltas = flaky
+        tree = Aligner(genomes, cfg).job_tree()
+        blocks = ex.execute(tree)
+        assert blocks and fails["n"] == 2
