@@ -44,6 +44,10 @@ def _align_main(argv: list[str]) -> int:
         "sharing -tmp_dir",
     )
     ap.add_argument("-config", help="JSON config file (PipelineConfig fields)")
+    ap.add_argument(
+        "-stats", action="store_true",
+        help="print phase timings and peak RSS at the end",
+    )
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -87,6 +91,11 @@ def _align_main(argv: list[str]) -> int:
             process_index=process_index, process_count=process_count,
         )
     print(f"wrote {args.out_maf}: {len(blocks)} blocks", file=sys.stderr)
+    if args.stats:
+        from paramugsy_tpu.utils.obs import METRICS, MemoryMonitor
+
+        print(METRICS.report(), file=sys.stderr)
+        print(f"peak_rss_kb\t{MemoryMonitor._rss_kb()}", file=sys.stderr)
     return 0
 
 

@@ -64,6 +64,7 @@ class JobExecutor:
 
     # ------------------------------------------------------------------
     def _pair_deltas(self, a: str, b: str):
+        from paramugsy_tpu.utils.obs import METRICS
         """One pair's deltas, via the store when available.
 
         With a store + ownership: owners compute and publish, others block
@@ -77,7 +78,10 @@ class JobExecutor:
                 self._on_task("nucmer-wait", f"{a}~{b}")
                 return self.store.wait_pair(a, b)
         self._on_task("nucmer", f"{a}~{b}")
-        deltas = genome_pair_deltas(self.genomes[a], self.genomes[b], self.cfg.align)
+        with METRICS.phase("pairwise", items=1):
+            deltas = genome_pair_deltas(
+                self.genomes[a], self.genomes[b], self.cfg.align
+            )
         if self.store is not None:
             self.store.save_pair(a, b, deltas)
         return deltas
@@ -135,18 +139,22 @@ class JobExecutor:
             deltas.extend(f.result())
         uid = self._next_uid()
         self._on_task("merge", uid)
-        merge_fut = self.sched.submit(
-            lambda: merge_blocks(
+        from paramugsy_tpu.utils.obs import METRICS
+
+        def run_merge():
+            with METRICS.phase("merge", items=1):
+                return merge_blocks(
                 lb,
                 rb,
                 deltas,
-                basename_left=f"l{uid}",
-                basename_right=f"r{uid}",
-                min_length=self.cfg.min_length,
-                emit_unique=self.cfg.emit_unique,
-            ),
-            priority=priority,
-            name=f"merge-{uid}",
+                    basename_left=f"l{uid}",
+                    basename_right=f"r{uid}",
+                    min_length=self.cfg.min_length,
+                    emit_unique=self.cfg.emit_unique,
+                )
+
+        merge_fut = self.sched.submit(
+            run_merge, priority=priority, name=f"merge-{uid}",
         )
         blocks = merge_fut.result()
         if self.store is not None:
