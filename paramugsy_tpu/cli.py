@@ -31,6 +31,12 @@ def _align_main(argv: list[str]) -> int:
         "-skipunique", action="store_true",
         help="do not emit unaligned (unique) regions in the output MAF",
     )
+    ap.add_argument(
+        "-refine", nargs="?", const="colinear", default=None,
+        help="per-block MSA refinement after each merge "
+        "(mugsyWGA --refine role); optional value is accepted for "
+        "reference-CLI compatibility",
+    )
     ap.add_argument("-run_size", type=int, default=4, help="concurrent task slots")
     ap.add_argument("-nucmer_chunk_size", type=int, default=4)
     ap.add_argument("-sequential", action="store_true", help="single-threaded run")
@@ -68,6 +74,7 @@ def _align_main(argv: list[str]) -> int:
             max_seqs=args.seqs_per_mugsy,
             min_length=args.minlength,
             emit_unique=not args.skipunique,
+            refine=args.refine is not None,
             align=AlignConfig(break_len=args.distance),
         )
     cfg.progress = (lambda m: print(m, file=sys.stderr)) if args.verbose else None

@@ -106,6 +106,8 @@ def merge_blocks(
     basename_right: str = "r",
     min_length: int = 30,
     emit_unique: bool = True,
+    refine: bool = False,
+    refine_max_cols: int = 50_000,
 ) -> list[MafBlock]:
     """Merge two alignment levels through genome-space pairwise deltas."""
     lps, lcons = make_profiles_mem(left_blocks, basename_left)
@@ -138,6 +140,10 @@ def merge_blocks(
                     )
 
     merged = list(untranslate_blocks(lps + rps, out))
+    if refine:
+        from paramugsy_tpu.lcb.refine import refine_blocks
+
+        refine_blocks(merged, max_cols=refine_max_cols)
     for b in merged:
         b.attrs["mult"] = str(len(b.seqs))
         b.score = max(len(s.text) for s in b.seqs) if b.seqs else 0

@@ -60,6 +60,8 @@ class PipelineConfig:
     max_seqs: int = 2  # seqs-per-mugsy; binary merge all the way by default
     min_length: int = 30  # mugsyWGA --minlength role
     emit_unique: bool = True  # False = the reference's -skipunique
+    refine: bool = False  # mugsyWGA --refine role: per-block MSA polish
+    refine_max_cols: int = 50_000  # skip refining blocks wider than this
     align: AlignConfig = field(default_factory=AlignConfig)
     distance_k: int = 8
     progress: Optional[Callable[[str], None]] = None
@@ -172,6 +174,8 @@ class Aligner:
             basename_right=f"r{uid}",
             min_length=self.cfg.min_length,
             emit_unique=self.cfg.emit_unique,
+            refine=self.cfg.refine,
+            refine_max_cols=self.cfg.refine_max_cols,
         )
 
     def align_ordered(self, order: list[str]) -> list[MafBlock]:

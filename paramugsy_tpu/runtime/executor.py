@@ -151,6 +151,8 @@ class JobExecutor:
                     basename_right=f"r{uid}",
                     min_length=self.cfg.min_length,
                     emit_unique=self.cfg.emit_unique,
+                    refine=self.cfg.refine,
+                    refine_max_cols=self.cfg.refine_max_cols,
                 )
 
         merge_fut = self.sched.submit(
