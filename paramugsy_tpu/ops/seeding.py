@@ -335,3 +335,113 @@ def find_seeds_both(
         n_raw=n_raw,
         n_runs=n_runs,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "max_seeds", "unique_in_query", "min_match",
+        "band", "max_gap", "max_clusters",
+    ),
+)
+def seed_cluster_both_packed(
+    ref_codes,
+    query_codes,
+    query_rc_codes,
+    *,
+    k: int = 16,
+    max_seeds: int = 1 << 16,
+    unique_in_query: bool = False,
+    min_match: int = 20,
+    band: int = 16,
+    max_gap: int = 90,
+    max_clusters: int = 4096,
+):
+    """Seeding + both-strand clustering fused into one dispatch, with every
+    output packed into ONE int32 vector.
+
+    Rationale: on a tunneled single-chip runtime each device->host fetch
+    pays tens of ms of round-trip latency regardless of size, so the
+    orchestration layer must make exactly one transfer per pair.  Layout
+    (all int32), with M = max_seeds, C = max_clusters:
+
+        [n_raw, n_runs]
+        then per strand (forward, reverse):
+          seed_rpos[M], seed_qpos[M], seed_len[M], seed_cluster[M],
+          c_rstart[C], c_rend[C], c_qstart[C], c_qend[C],
+          c_weight[C], c_nseeds[C], c_mask[C], n_clusters[1]
+
+    Unpack on host with `unpack_seed_clusters`.  The header is
+    [M_eff, C_eff, n_raw, n_runs]: output arrays shrink to the input size
+    for small buckets, so the effective sizes are recorded up front.
+    """
+    from paramugsy_tpu.ops.chaining import cluster_seeds
+
+    seeds = find_seeds_both(
+        ref_codes, query_codes, query_rc_codes,
+        k=k, max_seeds=max_seeds, unique_in_query=unique_in_query,
+    )
+    base_keep = seeds.mask & (seeds.length >= min_match)
+    # Effective sizes (static): find_seeds/cluster outputs shrink to the
+    # input size for small buckets.
+    m_eff = seeds.rpos.shape[0]
+    c_eff = min(max_clusters, m_eff)
+    parts = [
+        jnp.array([m_eff, c_eff], jnp.int32),
+        seeds.n_raw[None],
+        seeds.n_runs[None],
+    ]
+    for reverse in (False, True):
+        keep = base_keep & (seeds.reverse == reverse)
+        cl = cluster_seeds(
+            seeds.rpos, seeds.qpos, seeds.length, keep,
+            band=band, max_gap=max_gap, max_clusters=max_clusters,
+        )
+        parts.extend(
+            [
+                cl.seed_rpos, cl.seed_qpos, cl.seed_len, cl.seed_cluster,
+                cl.c_rstart, cl.c_rend, cl.c_qstart, cl.c_qend,
+                cl.c_weight, cl.c_nseeds, cl.c_mask.astype(jnp.int32),
+                cl.n_clusters[None],
+            ]
+        )
+    return jnp.concatenate(parts)
+
+
+class HostClusters(NamedTuple):
+    """Host-side unpacked per-strand clustering results (NumPy arrays)."""
+
+    seed_rpos: "object"
+    seed_qpos: "object"
+    seed_len: "object"
+    seed_cluster: "object"
+    c_rstart: "object"
+    c_rend: "object"
+    c_qstart: "object"
+    c_qend: "object"
+    c_weight: "object"
+    c_nseeds: "object"
+    c_mask: "object"
+    n_clusters: int
+
+
+def unpack_seed_clusters(packed, max_seeds: int, max_clusters: int):
+    """Split `seed_cluster_both_packed` output: (n_raw, n_runs, [fwd, rev])."""
+    import numpy as np
+
+    buf = np.asarray(packed)
+    M, C = int(buf[0]), int(buf[1])
+    assert M <= max_seeds and C <= max_clusters
+    n_raw, n_runs = int(buf[2]), int(buf[3])
+    off = 4
+    strands = []
+    for _ in range(2):
+        fields = []
+        for size in (M, M, M, M, C, C, C, C, C, C, C):
+            fields.append(buf[off : off + size])
+            off += size
+        n_clusters = int(buf[off])
+        off += 1
+        fields[10] = fields[10] != 0  # c_mask back to bool
+        strands.append(HostClusters(*fields, n_clusters))
+    return n_raw, n_runs, strands
