@@ -128,40 +128,47 @@ def align_segments(
     results: list = [None] * len(segs)
     if not segs:
         return results
-    order = sorted(range(len(segs)), key=lambda i: max(len(segs[i][0]), len(segs[i][1])))
-    # Degenerate cases (one side empty) need no DP.
-    batch: list[int] = []
-    for i in order:
-        a, b = segs[i]
-        if len(a) == 0 and len(b) == 0:
+    la = np.fromiter((len(s[0]) for s in segs), dtype=np.int64, count=len(segs))
+    lb = np.fromiter((len(s[1]) for s in segs), dtype=np.int64, count=len(segs))
+    # Degenerate / trivial cases need no DP: one side empty, or 1-vs-1
+    # when a single substitution beats two gaps (mismatch >= 2*gap; the
+    # DP's DIAG tie preference makes >= the exact condition).
+    one_v_one_ok = scoring.mismatch >= 2 * scoring.gap
+    trivial = (la == 0) | (lb == 0)
+    if one_v_one_ok:
+        trivial |= (la == 1) & (lb == 1)
+    for i in np.flatnonzero(trivial):
+        a_n, b_n = int(la[i]), int(lb[i])
+        if a_n == 0 and b_n == 0:
             results[i] = ([], [], 0)
-        elif len(a) == 0:
-            results[i] = ([Range(1, len(b))], [], len(b))
-        elif len(b) == 0:
-            results[i] = ([], [Range(1, len(a))], len(a))
+        elif a_n == 0:
+            results[i] = ([Range(1, b_n)], [], b_n)
+        elif b_n == 0:
+            results[i] = ([], [Range(1, a_n)], a_n)
         else:
-            batch.append(i)
-    # Bucketed batches.
+            results[i] = ([], [], 1)
+    batch = np.flatnonzero(np.array([r is None for r in results], dtype=bool))
+    lmax = np.maximum(la, lb)
+    # Bucketed batches with vectorized padding (one boolean scatter per
+    # side instead of a Python loop over segments).
     BUCKETS = (16, 64, 256, 1024, 4096)
+    lane = {bk: np.arange(bk) for bk in BUCKETS}
     for bucket in BUCKETS:
-        idxs = [
-            i for i in batch
-            if max(len(segs[i][0]), len(segs[i][1])) <= bucket
-            and results[i] is None
-        ]
-        if not idxs:
+        idxs = batch[lmax[batch] <= bucket]
+        batch = batch[lmax[batch] > bucket]
+        if len(idxs) == 0:
             continue
         B = len(idxs)
+        a_len = la[idxs].astype(np.int32)
+        b_len = lb[idxs].astype(np.int32)
         a = np.full((B, bucket), 4, dtype=np.int8)
         b = np.full((B, bucket), 4, dtype=np.int8)
-        a_len = np.zeros(B, dtype=np.int32)
-        b_len = np.zeros(B, dtype=np.int32)
-        for bi, i in enumerate(idxs):
-            ra, rb = segs[i]
-            a[bi, : len(ra)] = ra
-            b[bi, : len(rb)] = rb
-            a_len[bi] = len(ra)
-            b_len[bi] = len(rb)
+        a[lane[bucket][None, :] < a_len[:, None]] = np.concatenate(
+            [segs[i][0] for i in idxs]
+        )
+        b[lane[bucket][None, :] < b_len[:, None]] = np.concatenate(
+            [segs[i][1] for i in idxs]
+        )
         nat = None
         try:
             from paramugsy_tpu.ops.native import nw_align_batch_native

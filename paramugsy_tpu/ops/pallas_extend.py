@@ -505,11 +505,15 @@ def _wavefront_kernel(
 ):
     """One grid step: CHUNK anti-diagonals of BATCH independent banded DPs.
 
-    a_new/b_new: (batch, chunk) chars entering the windows at each step.
+    a_new/b_new: (chunk, batch) chars entering the windows at each step
+    (step-major so the per-step slice is a full sublane row).
     awin/bwin init: (batch, width) window state before step 1.
     blen: (batch, 2) = (a_len, b_len) per pair.
     dirs: (chunk, batch, width) uint8 output.
     prev1/prev2: carried dp of steps d-1 / d-2.
+
+    Throughput scales with `batch`: every vector op covers batch*width/
+    (8*128) vregs, so large batches amortize Mosaic's per-op overhead.
     """
     step = pl.program_id(0)
     half = width // 2
@@ -535,13 +539,15 @@ def _wavefront_kernel(
         parity_ok = ((d - k) & 1) == 0
         inside = parity_ok & (i >= 0) & (i <= a_len) & (j >= 0) & (j <= b_len)
 
-        # Window advance (shift-1 rolls + one scalar insert each).
+        # Window advance (shift-1 rolls + one sublane-row insert each).
         awin = jnp.where(
-            lanes == 0, a_new_ref[:, r].reshape(batch, 1), pltpu.roll(awin_ref[:, :], 1, 1)
+            lanes == 0,
+            a_new_ref[r, :].reshape(batch, 1),
+            pltpu.roll(awin_ref[:, :], 1, 1),
         )
         bwin = jnp.where(
             lanes == width - 1,
-            b_new_ref[:, r].reshape(batch, 1),
+            b_new_ref[r, :].reshape(batch, 1),
             pltpu.roll(bwin_ref[:, :], width - 1, 1),
         )
         awin_ref[:, :] = awin
@@ -594,9 +600,12 @@ def wavefront_dp(
     batch: int = 8,
     interpret: bool = False,
 ):
-    """Anti-diagonal banded DP; returns dirs [steps, batch, width] uint8."""
-    steps = a_new.shape[1]
-    assert a_new.shape[0] == batch and steps % chunk == 0 and chunk % 128 == 0
+    """Anti-diagonal banded DP; returns dirs [steps, batch, width] uint8.
+
+    a_new/b_new are (steps, batch) step-major streams.
+    """
+    steps = a_new.shape[0]
+    assert a_new.shape[1] == batch and steps % chunk == 0 and batch % 8 == 0
     grid = (steps // chunk,)
     kernel = functools.partial(
         _wavefront_kernel,
@@ -607,8 +616,8 @@ def wavefront_dp(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((batch, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -699,27 +708,29 @@ def wavefront_align_batch(
             raise ValueError("length difference exceeds band")
     steps = max(len(a) + len(b) for a, b in pairs)
     steps = -(-max(steps, 1) // chunk) * chunk
-    A_new = np.full((batch, steps), 4, dtype=np.int32)
-    B_new = np.full((batch, steps), 5, dtype=np.int32)  # distinct pads: never match
+    A_new = np.full((steps, batch), 4, dtype=np.int32)
+    B_new = np.full((steps, batch), 5, dtype=np.int32)  # distinct pads: never match
     Awin = np.full((batch, width), 4, dtype=np.int32)
     Bwin = np.full((batch, width), 5, dtype=np.int32)
     Blen = np.zeros((batch, 2), dtype=np.int32)
+    def stream(seq, idx, pad):
+        n_s = len(seq)
+        if n_s == 0:
+            return np.full(idx.shape, pad, dtype=np.int32)
+        return np.where((idx >= 0) & (idx < n_s), seq[np.clip(idx, 0, n_s - 1)], pad)
+
     for p, (a, b) in enumerate(pairs):
         a_len, b_len = len(a), len(b)
         Blen[p] = (a_len, b_len)
         # Entering chars at step d (1-based): awin[0] = a[(d+half)/2 - 1],
         # bwin[W-1] = b[(d + width-1 - half)/2 - 1]  (floor; pad outside).
         d_idx = np.arange(1, steps + 1)
-        ai = (d_idx + half) // 2 - 1
-        A_new[p] = np.where((ai >= 0) & (ai < a_len), a[np.clip(ai, 0, a_len - 1)], 4)
-        bi = (d_idx + width - 1 - half) // 2 - 1
-        B_new[p] = np.where((bi >= 0) & (bi < b_len), b[np.clip(bi, 0, b_len - 1)], 5)
+        A_new[:, p] = stream(a, (d_idx + half) // 2 - 1, 4)
+        B_new[:, p] = stream(b, (d_idx + width - 1 - half) // 2 - 1, 5)
         # Window state before step 1: awin_0[w] = a[(0-w+half)/2 - 1] etc.
         w_idx = np.arange(width)
-        ai0 = (0 - w_idx + half) // 2 - 1
-        Awin[p] = np.where((ai0 >= 0) & (ai0 < a_len), a[np.clip(ai0, 0, a_len - 1)], 4)
-        bi0 = (0 + w_idx - half) // 2 - 1
-        Bwin[p] = np.where((bi0 >= 0) & (bi0 < b_len), b[np.clip(bi0, 0, b_len - 1)], 5)
+        Awin[p] = stream(a, (0 - w_idx + half) // 2 - 1, 4)
+        Bwin[p] = stream(b, (0 + w_idx - half) // 2 - 1, 5)
     dirs = np.asarray(
         wavefront_dp(
             jnp.asarray(A_new),

@@ -102,3 +102,55 @@ class TestBatchedKernel:
         for (a, b), got in zip(pairs, batch):
             single = banded_align(a, b, width=256, chunk=128, interpret=True)
             assert got == single
+
+
+class TestWavefrontKernel:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_optimal_when_band_covers(self, seed):
+        from paramugsy_tpu.ops.pallas_extend import wavefront_align_batch
+
+        rng = np.random.default_rng(seed)
+        la = int(rng.integers(5, 120))
+        lb = max(la + int(rng.integers(-40, 40)), 2)
+        a = rng.integers(0, 4, size=la).astype(np.int8)
+        if seed % 2 == 0 and lb <= la:
+            b = a[:lb].copy()
+            m = rng.random(lb) < 0.1
+            b[m] = ((b[m] + 1) % 4).astype(np.int8)
+        else:
+            b = rng.integers(0, 4, size=lb).astype(np.int8)
+        (res,) = wavefront_align_batch([(a, b)], width=256, chunk=128, interpret=True)
+        rg, qg, n = res
+        assert path_score(a, b, rg, qg, n) == brute_nw(a, b)
+
+    def test_matches_row_kernel_on_batch(self):
+        from paramugsy_tpu.ops.pallas_extend import (
+            banded_align_batch,
+            wavefront_align_batch,
+        )
+
+        rng = np.random.default_rng(11)
+        pairs = []
+        for _ in range(6):
+            la = int(rng.integers(40, 300))
+            a = rng.integers(0, 4, size=la).astype(np.int8)
+            b = np.delete(a, rng.choice(la, 4, replace=False)).copy()
+            m = rng.random(len(b)) < 0.05
+            b[m] = ((b[m] + 1) % 4).astype(np.int8)
+            pairs.append((a, b))
+        wf = wavefront_align_batch(pairs, width=256, chunk=128, interpret=True)
+        row = banded_align_batch(pairs, width=256, chunk=128, interpret=True)
+        for (a, b), got_wf, got_row in zip(pairs, wf, row):
+            # Same optimal score (tie paths may differ between formulations).
+            s_wf = path_score(a, b, *got_wf)
+            s_row = path_score(a, b, *got_row)
+            assert s_wf == s_row == brute_nw(a, b)
+
+    def test_empty_query(self):
+        from paramugsy_tpu.ops.pallas_extend import wavefront_align_batch
+
+        a = np.array([0, 1, 2], np.int8)
+        b = np.zeros(0, np.int8)
+        (res,) = wavefront_align_batch([(a, b)], width=256, chunk=128, interpret=True)
+        rg, qg, n = res
+        assert n == 3 and qg[0].length == 3 and rg == []
