@@ -37,6 +37,17 @@ def _align_main(argv: list[str]) -> int:
         "(mugsyWGA --refine role); optional value is accepted for "
         "reference-CLI compatibility",
     )
+    ap.add_argument(
+        "-duplications", action="store_true",
+        help="detect per-genome segmental duplications (genome-vs-self "
+        "repeat alignment) and append them as label=dup* blocks "
+        "(mugsyWGA --duplications role)",
+    )
+    ap.add_argument(
+        "-dup_list",
+        help="file listing precomputed duplication MAF paths to append "
+        "(mugsy_mugsy -dup_list role)",
+    )
     ap.add_argument("-run_size", type=int, default=4, help="concurrent task slots")
     ap.add_argument("-nucmer_chunk_size", type=int, default=4)
     ap.add_argument("-sequential", action="store_true", help="single-threaded run")
@@ -77,6 +88,11 @@ def _align_main(argv: list[str]) -> int:
             refine=args.refine is not None,
             align=AlignConfig(break_len=args.distance),
         )
+    if args.duplications:
+        cfg.duplications = True
+    if args.dup_list:
+        with open(args.dup_list) as f:
+            cfg.dup_list = [l.strip() for l in f if l.strip()]
     cfg.progress = (lambda m: print(m, file=sys.stderr)) if args.verbose else None
     if args.sequential:
         from paramugsy_tpu.pipeline import align_fastas
@@ -159,6 +175,41 @@ def _nucmer_main(argv: list[str]) -> int:
     return 0
 
 
+def _repeats_main(argv: list[str]) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="paramugsy-tpu repeats")
+    ap.add_argument("-seq", required=True, help="genome FASTA")
+    ap.add_argument("-out_maf")
+    ap.add_argument("-out_delta")
+    ap.add_argument("-minlength", type=int, default=65)
+    args = ap.parse_args(argv)
+
+    from paramugsy_tpu.formats.delta import DeltaWriter
+    from paramugsy_tpu.formats.delta_maf import delta_to_maf_blocks
+    from paramugsy_tpu.formats.maf import write_maf
+    from paramugsy_tpu.ops.align_pair import AlignConfig, align_self
+    from paramugsy_tpu.pipeline import load_genome
+
+    g = load_genome(args.seq)
+    entries = []
+    for name, seq in g.seqs.items():
+        entries.extend(
+            e
+            for e in align_self(seq, name, AlignConfig())
+            if e.alignment_length() >= args.minlength
+        )
+    if args.out_delta:
+        with open(args.out_delta, "w") as f:
+            w = DeltaWriter(f, args.seq, args.seq)
+            for e in entries:
+                w.write(e)
+    if args.out_maf:
+        write_maf(args.out_maf, delta_to_maf_blocks(entries, g.seqs, g.seqs))
+    print(f"{len(entries)} repeat alignments", file=sys.stderr)
+    return 0
+
+
 def _profiles_main(argv: list[str]) -> int:
     import argparse
 
@@ -226,7 +277,7 @@ def _profiles_main(argv: list[str]) -> int:
     return 2
 
 
-_DEVICE_COMMANDS = {"align", "local", "nucmer"}
+_DEVICE_COMMANDS = {"align", "local", "nucmer", "repeats"}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -239,7 +290,7 @@ def main(argv: list[str] | None = None) -> int:
         enable_compilation_cache()
     if not argv:
         print(
-            "usage: paramugsy-tpu {align|local|nucmer|profiles|mafstat|"
+            "usage: paramugsy-tpu {align|local|nucmer|repeats|profiles|mafstat|"
             "mafvalidate|mafclean|fastafmt|mafdefrag|maffiller|analyzer|"
             "sortdelta} ...",
             file=sys.stderr,
@@ -250,6 +301,8 @@ def main(argv: list[str] | None = None) -> int:
         return _align_main(rest)
     if cmd == "nucmer":
         return _nucmer_main(rest)
+    if cmd == "repeats":
+        return _repeats_main(rest)
     if cmd == "profiles":
         return _profiles_main(rest)
     if cmd == "mafstat":

@@ -72,7 +72,11 @@ def _chain_seeds_all(ref_codes, q_codes, q_rc_codes, cfg: AlignConfig):
         max_clusters=cfg.max_clusters,
     )
     _, _, strands = unpack_seed_clusters(packed, cfg.max_seeds, cfg.max_clusters)
+    return _chains_of_strands(strands, cfg)
 
+
+def _chains_of_strands(strands, cfg: AlignConfig) -> list["RawChain"]:
+    """Per-strand clustered seeds -> chained, monotone anchor sets."""
     out: list[RawChain] = []
     for reverse, cl in zip((False, True), strands):
         cmask = cl.c_mask.copy()
@@ -244,6 +248,64 @@ def align_pair(
     elif cfg.post_filter:
         raise ValueError(f"unknown post_filter: {cfg.post_filter}")
     return entries
+
+
+def align_self(
+    seq: str | np.ndarray,
+    name: str = "ref",
+    cfg: AlignConfig | None = None,
+) -> list[DeltaEntry]:
+    """Genome-vs-self repeat alignment (the duplication-detection role).
+
+    Finds direct and inverted segmental duplications via adjacent-occurrence
+    repeat seeding (`find_repeat_seeds`), then chains and gap-extends them
+    with the same machinery as `align_pair`.  Entries are canonical
+    (copy1 start < copy2 forward start) and never the identity; the result
+    feeds the mugsy_mugsy -dup_list / mugsyWGA --duplications role
+    (lib/mugsy/mugsy_mugsy.ml:125-144).
+    """
+    cfg = cfg or AlignConfig()
+    ref_np = seq if isinstance(seq, np.ndarray) else encode(seq)
+    n = len(ref_np)
+
+    from paramugsy_tpu.ops.encode import bucket_size, pad_to
+    from paramugsy_tpu.ops.seeding import (
+        repeat_cluster_packed,
+        unpack_seed_clusters,
+    )
+
+    ref_d = jnp.asarray(pad_to(ref_np, bucket_size(n)))
+    ref_rc_np = revcomp_codes_np(ref_np)
+    ref_rc_d = jnp.asarray(pad_to(ref_rc_np, bucket_size(n)))
+
+    packed = repeat_cluster_packed(
+        ref_d,
+        ref_rc_d,
+        k=cfg.k,
+        max_seeds=cfg.max_seeds,
+        min_match=cfg.min_match,
+        band=cfg.band,
+        max_gap=cfg.max_gap,
+        max_clusters=cfg.max_clusters,
+    )
+    _, _, strands = unpack_seed_clusters(packed, cfg.max_seeds, cfg.max_clusters)
+
+    entries: list[DeltaEntry] = []
+    for chain in _chains_of_strands(strands, cfg):
+        qn = ref_rc_np if chain.reverse else ref_np
+        entries.extend(
+            _entries_of_chain(chain, ref_np, qn, name, name, n, cfg)
+        )
+    out: list[DeltaEntry] = []
+    for e in entries:
+        r, q = e.ref_range.abs(), e.query_range.abs()
+        if (r.start, r.end) == (q.start, q.end):
+            continue  # palindromic self-match (identical interval)
+        if r.start >= q.start:
+            continue  # mirror of a pair already reported canonically
+        out.append(e)
+    out.sort(key=lambda e: (e.ref_range.abs().start, e.query_range.abs().start))
+    return out
 
 
 def filter_one_to_one(entries: list[DeltaEntry]) -> list[DeltaEntry]:

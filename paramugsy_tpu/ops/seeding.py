@@ -408,6 +408,167 @@ def seed_cluster_both_packed(
     return jnp.concatenate(parts)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "max_seeds"))
+def find_repeat_seeds(
+    ref_codes,
+    ref_rc_codes,
+    *,
+    k: int = 16,
+    max_seeds: int = 1 << 16,
+) -> SeedMatches2:
+    """Self-repeat seeding (the ``nucmer`` genome-vs-self role that feeds
+    Mugsy's duplication detection, cf. mugsy_mugsy -dup_list /
+    mugsyWGA --duplications: lib/mugsy/mugsy_mugsy.ml:125-144).
+
+    Unique-match seeding cannot see repeats by construction (a duplicated
+    k-mer is never ref-unique), and enumerating all occurrence pairs is a
+    data-dependent cross product.  Instead we pair **adjacent occurrences**
+    in the k-mer sort: after sorting (code, owner|pos) over the forward +
+    revcomp streams, element i-1 with the same code is the previous
+    occurrence, so each repeated k-mer yields the chain of consecutive-copy
+    pairs (c1,c2), (c2,c3), ... — the same representation MUMmer's
+    ``repeat-match`` reports.  Pair types:
+
+    * fwd->fwd: direct repeat, copy1 pos < copy2 pos by sort order;
+    * fwd->rc : inverted repeat (copy2 in revcomp-local coordinates);
+    * rc->rc and rc->fwd pairs are mirrors of the above and are dropped.
+
+    Consecutive k-mers of one repeat advance both positions by 1 on a
+    constant diagonal, so the run-merge machinery is identical to
+    `find_seeds_both`; `reverse` in the output marks inverted pairs.
+    """
+    rk, rvalid = kmer_codes(ref_codes, k)
+    ck, cvalid = kmer_codes(ref_rc_codes, k)
+    n_f, n_c = rk.shape[0], ck.shape[0]
+    n = n_f + n_c
+    if max(n_f, n_c) >= 1 << 23:
+        raise ValueError("sequence bucket exceeds 2^23; window the input")
+
+    codes = jnp.concatenate([rk, ck])
+    invalid = jnp.concatenate([~rvalid, ~cvalid]).astype(jnp.uint8)
+    packed = jnp.concatenate(
+        [
+            jnp.arange(n_f, dtype=jnp.int32),
+            (1 << 23) | jnp.arange(n_c, dtype=jnp.int32),
+        ]
+    )
+    invalid, codes, packed = lax.sort((invalid, codes, packed), num_keys=3)
+    valid = invalid == 0
+    owner = packed >> jnp.int32(23)
+    pos = packed & ((1 << 23) - 1)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    prev_owner = jnp.roll(owner, 1)
+    p1 = jnp.roll(pos, 1)
+    same = (
+        valid
+        & jnp.roll(valid, 1)
+        & (codes == jnp.roll(codes, 1))
+        & (idx > 0)
+        & (prev_owner == 0)  # copy1 always in forward coordinates
+    )
+    is_match = same  # owner==0: direct pair; owner==1: inverted pair
+    n_raw = jnp.sum(is_match.astype(jnp.int32))
+
+    # Run merging: identical to find_seeds_both sort #2/#3 with
+    # rpos := copy1 (fwd), qpos := copy2 (strand-local of `owner`).
+    OFF = 1 << 23
+    diag = p1 - pos + OFF
+    key2 = jnp.where(
+        is_match, (owner << jnp.int32(24)) | diag, jnp.int32(1 << 30)
+    ).astype(jnp.int32)
+    key2, rpos_c, qpos_c = lax.sort((key2, p1, pos), num_keys=2)
+    mask_c = key2 < (1 << 30)
+    owner_c = (key2 >> jnp.int32(24)) & 3
+
+    next_continues = (
+        jnp.roll(mask_c, -1)
+        & (jnp.roll(key2, -1) == key2)
+        & (jnp.roll(qpos_c, -1) == qpos_c + 1)
+    )
+    prev_mask = jnp.roll(mask_c, 1).at[0].set(False)
+    run_start = mask_c & (
+        ~prev_mask
+        | (key2 != jnp.roll(key2, 1))
+        | (qpos_c != jnp.roll(qpos_c, 1) + 1)
+    )
+    is_run_end = mask_c & ((idx == n - 1) | ~next_continues)
+    run_start_idx = _prefix_max(jnp.where(run_start, idx, -1))
+    run_len_kmers = idx - run_start_idx + 1
+    run_rpos = rpos_c - run_len_kmers + 1
+    run_qpos = qpos_c - run_len_kmers + 1
+    n_runs = jnp.sum(is_run_end.astype(jnp.int32))
+
+    key3 = jnp.where(
+        is_run_end, (owner_c << jnp.int32(24)) | run_rpos, jnp.int32(1 << 30)
+    ).astype(jnp.int32)
+    key3, o_qpos, o_len = lax.sort(
+        (key3, run_qpos, run_len_kmers + (k - 1)), num_keys=1, is_stable=True
+    )
+    take = min(max_seeds, n)
+    cut = lambda x: lax.dynamic_slice_in_dim(x, 0, take)  # noqa: E731
+    key3_c = cut(key3)
+    return SeedMatches2(
+        rpos=key3_c & (OFF * 2 - 1),
+        qpos=cut(o_qpos),
+        length=cut(o_len),
+        reverse=((key3_c >> jnp.int32(24)) & 3) == 1,
+        mask=key3_c < (1 << 30),
+        n_raw=n_raw,
+        n_runs=n_runs,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "max_seeds", "min_match", "band", "max_gap", "max_clusters",
+    ),
+)
+def repeat_cluster_packed(
+    ref_codes,
+    ref_rc_codes,
+    *,
+    k: int = 16,
+    max_seeds: int = 1 << 16,
+    min_match: int = 20,
+    band: int = 16,
+    max_gap: int = 90,
+    max_clusters: int = 4096,
+):
+    """Fused self-repeat seeding + per-type clustering, packed like
+    `seed_cluster_both_packed` (strand slot 0 = direct, 1 = inverted);
+    unpack on host with `unpack_seed_clusters`."""
+    from paramugsy_tpu.ops.chaining import cluster_seeds
+
+    seeds = find_repeat_seeds(
+        ref_codes, ref_rc_codes, k=k, max_seeds=max_seeds
+    )
+    base_keep = seeds.mask & (seeds.length >= min_match)
+    m_eff = seeds.rpos.shape[0]
+    c_eff = min(max_clusters, m_eff)
+    parts = [
+        jnp.array([m_eff, c_eff], jnp.int32),
+        seeds.n_raw[None],
+        seeds.n_runs[None],
+    ]
+    for inverted in (False, True):
+        keep = base_keep & (seeds.reverse == inverted)
+        cl = cluster_seeds(
+            seeds.rpos, seeds.qpos, seeds.length, keep,
+            band=band, max_gap=max_gap, max_clusters=max_clusters,
+        )
+        parts.extend(
+            [
+                cl.seed_rpos, cl.seed_qpos, cl.seed_len, cl.seed_cluster,
+                cl.c_rstart, cl.c_rend, cl.c_qstart, cl.c_qend,
+                cl.c_weight, cl.c_nseeds, cl.c_mask.astype(jnp.int32),
+                cl.n_clusters[None],
+            ]
+        )
+    return jnp.concatenate(parts)
+
+
 class HostClusters(NamedTuple):
     """Host-side unpacked per-strand clustering results (NumPy arrays)."""
 

@@ -64,6 +64,11 @@ class PipelineConfig:
     refine_max_cols: int = 50_000  # skip refining blocks wider than this
     align: AlignConfig = field(default_factory=AlignConfig)
     distance_k: int = 8
+    # Duplication handling (mugsy_mugsy -dup_list / mugsyWGA --duplications,
+    # lib/mugsy/mugsy_mugsy.ml:125-144): detect genome-vs-self segmental
+    # duplications and emit them as extra labeled blocks.
+    duplications: bool = False
+    dup_list: list = field(default_factory=list)  # precomputed dup MAF paths
     progress: Optional[Callable[[str], None]] = None
 
     def log(self, msg: str) -> None:
@@ -203,12 +208,62 @@ class Aligner:
         return self.run_node(tree)
 
 
-def finalize_blocks(blocks: list[MafBlock]) -> list[MafBlock]:
-    """Assign sequential LCB labels (the reference's ``label=`` ids)."""
+def duplication_blocks(
+    genomes: list[Genome], cfg: PipelineConfig
+) -> list[MafBlock]:
+    """Per-genome self-alignment -> duplication MAF blocks (label=dup*).
+
+    The mugsyWGA --duplications role: each block pairs two copies of a
+    segmental duplication within one genome (second row reverse-strand for
+    inverted repeats).
+    """
+    from paramugsy_tpu.formats.delta_maf import delta_to_maf_blocks
+    from paramugsy_tpu.ops.align_pair import align_self
+
+    out: list[MafBlock] = []
+    for g in genomes:
+        for name, seq in g.seqs.items():
+            cfg.log(f"duplications {name}")
+            entries = [
+                e
+                for e in align_self(seq, name, cfg.align)
+                if e.alignment_length() >= cfg.min_length
+            ]
+            out.extend(delta_to_maf_blocks(entries, g.seqs, g.seqs))
+    for b in out:
+        b.attrs["label"] = "dup"
+    return out
+
+
+def gather_dup_blocks(
+    genomes: list[Genome], cfg: PipelineConfig
+) -> list[MafBlock]:
+    """Duplication blocks from self-alignment and/or precomputed MAFs
+    (the -dup_list file-list form of mugsy_mugsy)."""
+    from paramugsy_tpu.formats.maf import read_maf
+
+    dups: list[MafBlock] = []
+    if cfg.duplications:
+        dups.extend(duplication_blocks(genomes, cfg))
+    for path in cfg.dup_list:
+        for b in read_maf(path):
+            b.attrs["label"] = "dup"
+            dups.append(b)
+    return dups
+
+
+def finalize_blocks(
+    blocks: list[MafBlock], dup_blocks: list[MafBlock] = ()
+) -> list[MafBlock]:
+    """Assign sequential LCB labels (the reference's ``label=`` ids);
+    duplication blocks follow with ``dup<N>`` labels."""
     for i, b in enumerate(blocks):
         b.attrs["label"] = str(i + 1)
         b.attrs["mult"] = str(len(b.seqs))
-    return blocks
+    for i, b in enumerate(dup_blocks):
+        b.attrs["label"] = f"dup{i + 1}"
+        b.attrs["mult"] = str(len(b.seqs))
+    return list(blocks) + list(dup_blocks)
 
 
 def align_fastas(
@@ -217,6 +272,8 @@ def align_fastas(
     """CLI-level entry: FASTA files -> MAF file."""
     genomes = [load_genome(p) for p in fasta_paths]
     aligner = Aligner(genomes, cfg)
-    blocks = finalize_blocks(aligner.run())
+    blocks = finalize_blocks(
+        aligner.run(), gather_dup_blocks(genomes, aligner.cfg)
+    )
     write_maf(out_maf, blocks, header=MAF_HEADER)
     return blocks

@@ -246,8 +246,14 @@ def align_fastas_concurrent(
         genomes, cfg, run_size=run_size, chunk_size=chunk_size,
         store=store, ownership=ownership,
     )
-    from paramugsy_tpu.pipeline import finalize_blocks
+    from paramugsy_tpu.pipeline import finalize_blocks, gather_dup_blocks
 
-    blocks = finalize_blocks(ex.execute(tree))
+    main_blocks = ex.execute(tree)
+    # Duplication detection is per-genome work owned by process 0 (it is
+    # O(genomes), tiny next to the O(genomes^2) pairwise phase).
+    dups = (
+        gather_dup_blocks(genomes, cfg) if process_index == 0 else []
+    )
+    blocks = finalize_blocks(main_blocks, dups)
     write_maf(out_maf, blocks, header=MAF_HEADER)
     return blocks

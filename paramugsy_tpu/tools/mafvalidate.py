@@ -34,6 +34,8 @@ def find_faults(maf_path_or_blocks, check_ends: bool = True) -> list[Fault]:
     intervals: dict[str, list[tuple[int, int]]] = {}
     sizes: dict[str, int] = {}
     for b in blocks:
+        if b.attrs.get("label", "").startswith("dup"):
+            continue  # duplication blocks overlap the 1-1 tiling by nature
         for s in b.seqs:
             fs, fe = s.forward_interval()
             intervals.setdefault(s.name, []).append((fs, fe))

@@ -278,3 +278,61 @@ class TestLongSegments:
         b = rng.integers(0, 4, size=70).astype(np.int8)
         rg, qg, n = banded_align_np(a, b, width=256)
         assert path_score(a, b, rg, qg, n) == brute_nw(a, b)
+
+
+class TestAlignSelf:
+    """Duplication detection: genome-vs-self repeat alignment."""
+
+    def _genome(self, seed=3, n=20000):
+        rng = np.random.default_rng(seed)
+        g = rng.integers(0, 4, size=n).astype(np.int8)
+        g[12000:13000] = g[2000:3000]              # direct duplication
+        g[16000:16600] = (3 - g[5000:5600])[::-1]  # inverted duplication
+        return g
+
+    def test_finds_planted_duplications(self):
+        from paramugsy_tpu.ops.align_pair import align_self
+        from paramugsy_tpu.ops.encode import decode
+
+        g = self._genome()
+        entries = align_self(g, "G.c")
+        assert entries
+        txt = decode(g)
+        direct = [e for e in entries if e.query_range.is_forward]
+        inverted = [e for e in entries if not e.query_range.is_forward]
+        assert len(direct) == 1 and len(inverted) == 1
+        d, v = direct[0], inverted[0]
+        # Coordinates cover the planted copies (extension may add a few
+        # chance-matching flank bases).
+        assert d.ref_range.start <= 2001 and d.ref_range.end >= 3000
+        assert d.query_range.start <= 12001 and d.query_range.end >= 13000
+        assert v.ref_range.abs().start <= 5001 and v.ref_range.abs().end >= 5600
+        assert v.query_range.abs().start <= 16001 and v.query_range.abs().end >= 16600
+        for e in entries:
+            check_delta_valid(e)
+            assert entry_identity(e, txt, txt) > 0.95
+            # canonical: copy1 starts before copy2, never identity
+            assert e.ref_range.abs().start < e.query_range.abs().start
+
+    def test_no_false_duplications_in_random_sequence(self):
+        from paramugsy_tpu.ops.align_pair import align_self
+
+        rng = np.random.default_rng(11)
+        g = rng.integers(0, 4, size=20000).astype(np.int8)
+        entries = [e for e in align_self(g, "G.c") if e.alignment_length() >= 65]
+        assert entries == []
+
+    def test_three_copy_repeat_chains_adjacent(self):
+        from paramugsy_tpu.ops.align_pair import align_self
+
+        rng = np.random.default_rng(5)
+        g = rng.integers(0, 4, size=16000).astype(np.int8)
+        g[6000:6500] = g[1000:1500]
+        g[11000:11500] = g[1000:1500]
+        entries = align_self(g, "G.c")
+        pairs = {
+            (e.ref_range.start // 100, e.query_range.abs().start // 100)
+            for e in entries
+        }
+        # adjacent-occurrence pairing: (c1,c2) and (c2,c3)
+        assert (10, 60) in pairs and (60, 110) in pairs

@@ -204,3 +204,65 @@ class TestQuality:
         # expected pairwise identity ~ (1 - 2*rate*(3/4 correction)) ~ 0.985
         assert st.sp_identity > 0.97
         assert st.sp_pairs_compared > 0.9 * 6 * n  # near-full 4-way coverage
+
+
+class TestDuplications:
+    """-duplications / -dup_list roles: dup blocks appended, labeled, and
+    excluded from coverage validation."""
+
+    def _fastas(self, tmp_path):
+        rng = np.random.default_rng(9)
+        anc = rand_dna(rng, 8000)
+        # plant a direct duplication in the ancestor so every genome has it
+        anc = anc[:6000] + anc[1000:1800] + anc[6000:]
+        paths = []
+        for name in ["alpha", "beta"]:
+            g = mutate(rng, anc)
+            (tmp_path / f"{name}.fasta").write_text(f">chr1\n{g}\n")
+            paths.append(str(tmp_path / f"{name}.fasta"))
+        return paths
+
+    def test_duplications_flag(self, tmp_path):
+        from paramugsy_tpu.tools.mafvalidate import find_faults
+
+        paths = self._fastas(tmp_path)
+        out = str(tmp_path / "out.maf")
+        cfg = PipelineConfig(duplications=True)
+        blocks = align_fastas(paths, out, cfg)
+        dups = [b for b in blocks if b.attrs["label"].startswith("dup")]
+        main = [b for b in blocks if not b.attrs["label"].startswith("dup")]
+        assert dups, "planted duplication not detected"
+        for b in dups:
+            assert len(b.seqs) == 2
+            assert b.seqs[0].name == b.seqs[1].name  # self-pair
+        # dup blocks do not break the 1-1 coverage validation
+        assert find_faults(blocks) == []
+        assert find_faults(out) == []
+        # labels: main sequential, dups dupN
+        assert [b.attrs["label"] for b in main] == [
+            str(i + 1) for i in range(len(main))
+        ]
+        assert [b.attrs["label"] for b in dups] == [
+            f"dup{i + 1}" for i in range(len(dups))
+        ]
+
+    def test_dup_list_passthrough(self, tmp_path):
+        from paramugsy_tpu.formats.maf import read_maf
+
+        paths = self._fastas(tmp_path)
+        # precompute dups for genome alpha via the repeats role
+        from paramugsy_tpu.cli import main as cli_main
+
+        dup_maf = str(tmp_path / "alpha_dups.maf")
+        rc = cli_main(["repeats", "-seq", paths[0], "-out_maf", dup_maf])
+        assert rc == 0
+        lst = tmp_path / "dups.list"
+        lst.write_text(dup_maf + "\n")
+        out = str(tmp_path / "out2.maf")
+        rc = cli_main(
+            ["align", *paths, "-out_maf", out, "-sequential",
+             "-dup_list", str(lst)]
+        )
+        assert rc == 0
+        blocks = list(read_maf(out))
+        assert any(b.attrs["label"].startswith("dup") for b in blocks)
