@@ -37,6 +37,14 @@ class AlignConfig:
     # Post-processing of each pair's entries (the mugsy_nucmer -delta_pp
     # hook): None, "one_to_one" (delta-filter -1) or "colinear" (-m).
     post_filter: str | None = None
+    # Sequence-axis decomposition: sequences longer than `window` are cut
+    # into overlapping windows and all window pairs aligned (the seeding
+    # sort-join packs positions into 23 bits, so unbounded contigs must be
+    # windowed; the reference delegated genome length entirely to nucmer,
+    # SURVEY §5.7).  Matches crossing a window boundary are truncated at
+    # window edge + overlap.
+    window: int = 1 << 22
+    window_overlap: int = 1 << 17
 
 
 @dataclass
@@ -47,12 +55,13 @@ class RawChain:
     reverse: bool
 
 
-def _chain_seeds_all(ref_codes, q_codes, q_rc_codes, cfg: AlignConfig):
+def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
     """Seeds for both strands (one sort-join) -> chains per strand.
 
     One fused device dispatch + ONE device->host transfer: on a tunneled
     chip every fetch costs tens of ms of latency, so seeding and both
-    strand clusterings return as a single packed buffer.
+    strand clusterings return as a single packed buffer.  The revcomp
+    query stream is derived on device from ``q_codes``.
     """
     from paramugsy_tpu.ops.seeding import (
         seed_cluster_both_packed,
@@ -62,7 +71,8 @@ def _chain_seeds_all(ref_codes, q_codes, q_rc_codes, cfg: AlignConfig):
     packed = seed_cluster_both_packed(
         ref_codes,
         q_codes,
-        q_rc_codes,
+        None,
+        jnp.int32(q_len),
         k=cfg.k,
         max_seeds=cfg.max_seeds,
         unique_in_query=cfg.unique_in_query,
@@ -207,12 +217,37 @@ def _entries_of_chain(
     return entries
 
 
+def device_codes(
+    np_codes: np.ndarray,
+    cache: dict | None = None,
+    key: str | None = None,
+):
+    """Padded device copy of a code array, memoized per (key, length).
+
+    In an N-genome run every genome participates in N-1 pairs; caching
+    the device-resident padded codes turns N^2 host->device transfers
+    into N (the per-pair transfer is the dominant cost on a tunneled
+    chip).
+    """
+    from paramugsy_tpu.ops.encode import bucket_size, pad_to
+
+    if cache is None or key is None:
+        return jnp.asarray(pad_to(np_codes, bucket_size(len(np_codes))))
+    k = (key, len(np_codes))
+    hit = cache.get(k)
+    if hit is None:
+        hit = jnp.asarray(pad_to(np_codes, bucket_size(len(np_codes))))
+        cache[k] = hit
+    return hit
+
+
 def align_pair(
     ref_seq: str | np.ndarray,
     query_seq: str | np.ndarray,
     ref_name: str = "ref",
     query_name: str = "query",
     cfg: AlignConfig | None = None,
+    device_cache: dict | None = None,
 ) -> list[DeltaEntry]:
     """Full pairwise alignment: sequences -> delta entries (both strands)."""
     cfg = cfg or AlignConfig()
@@ -220,22 +255,20 @@ def align_pair(
     query_np = query_seq if isinstance(query_seq, np.ndarray) else encode(query_seq)
     n_q = len(query_np)
 
+    if max(len(ref_np), n_q) > cfg.window:
+        return _align_pair_windowed(ref_np, query_np, ref_name, query_name, cfg)
+
     # Pad to power-of-two buckets: one compiled kernel per bucket pair
     # instead of one per genome length. Padding is N (code 4) whose k-mer
     # windows are invalid, so results are unchanged.
-    from paramugsy_tpu.ops.encode import bucket_size, pad_to
-
-    ref_d = jnp.asarray(pad_to(ref_np, bucket_size(len(ref_np))))
-    query_pad = pad_to(query_np, bucket_size(len(query_np)))
-    query_d = jnp.asarray(query_pad)
-    # revcomp of the *unpadded* query, then pad: strand-local coordinates
-    # stay 0-based at the sequence start.  Host-side (NumPy): a device
-    # round trip here would cost more than the flip.
+    ref_d = device_codes(ref_np, device_cache, ref_name)
+    query_d = device_codes(query_np, device_cache, query_name)
+    # The device derives the revcomp stream itself; the host keeps its own
+    # copy for gap extension of reverse-strand chains.
     query_rc_np = revcomp_codes_np(query_np)
-    query_rc_d = jnp.asarray(pad_to(query_rc_np, bucket_size(len(query_rc_np))))
 
     entries: list[DeltaEntry] = []
-    for chain in _chain_seeds_all(ref_d, query_d, query_rc_d, cfg):
+    for chain in _chain_seeds_all(ref_d, query_d, n_q, cfg):
         qn = query_rc_np if chain.reverse else query_np
         entries.extend(
             _entries_of_chain(chain, ref_np, qn, ref_name, query_name, n_q, cfg)
@@ -247,6 +280,77 @@ def align_pair(
         entries = filter_colinear(entries)
     elif cfg.post_filter:
         raise ValueError(f"unknown post_filter: {cfg.post_filter}")
+    return entries
+
+
+def _windows(n: int, cfg: AlignConfig):
+    """(win_start, win_end, core_start, core_end) tiles over [0, n).
+
+    Cores tile the sequence exactly; each window extends overlap/2 beyond
+    its core on both sides so matches near core boundaries are seen whole
+    by at least one window.
+    """
+    step = cfg.window - cfg.window_overlap
+    assert step > 0, "window_overlap must be smaller than window"
+    half = cfg.window_overlap // 2
+    out = []
+    i = 0
+    while i * step < n:
+        c0, c1 = i * step, min((i + 1) * step, n)
+        out.append((max(0, c0 - half), min(n, c1 + half), c0, c1))
+        i += 1
+    return out
+
+
+def _align_pair_windowed(
+    ref_np: np.ndarray,
+    query_np: np.ndarray,
+    ref_name: str,
+    query_name: str,
+    cfg: AlignConfig,
+) -> list[DeltaEntry]:
+    """Sequence-axis decomposition for contigs beyond the seeding window.
+
+    All (ref window x query window) pairs are aligned; an entry is kept
+    iff both its midpoints fall in the pair's cores, so every locus is
+    reported by exactly one window pair (no duplicates).  Matches crossing
+    a window boundary are truncated at window edge + overlap/2.
+    """
+    import dataclasses
+
+    n_r, n_q = len(ref_np), len(query_np)
+    # Inner calls never recurse and never post-filter (global filters need
+    # the full entry set).
+    sub = dataclasses.replace(cfg, window=1 << 62, post_filter=None)
+    entries: list[DeltaEntry] = []
+    for rw0, rw1, rc0, rc1 in _windows(n_r, cfg):
+        for qw0, qw1, qc0, qc1 in _windows(n_q, cfg):
+            for e in align_pair(
+                ref_np[rw0:rw1], query_np[qw0:qw1], ref_name, query_name, sub
+            ):
+                rm = rw0 + (e.ref_range.abs().start + e.ref_range.abs().end) // 2
+                qm = qw0 + (e.query_range.abs().start + e.query_range.abs().end) // 2
+                # cores are 0-based [c0, c1); midpoints are 1-indexed
+                if not (rc0 < rm <= rc1 and qc0 < qm <= qc1):
+                    continue
+                entries.append(
+                    dataclasses.replace(
+                        e,
+                        ref_len=n_r,
+                        query_len=n_q,
+                        ref_range=Range(
+                            e.ref_range.start + rw0, e.ref_range.end + rw0
+                        ),
+                        query_range=Range(
+                            e.query_range.start + qw0, e.query_range.end + qw0
+                        ),
+                    )
+                )
+    entries.sort(key=lambda e: (e.ref_range.abs().start, e.ref_range.abs().end))
+    if cfg.post_filter == "one_to_one":
+        entries = filter_one_to_one(entries)
+    elif cfg.post_filter == "colinear":
+        entries = filter_colinear(entries)
     return entries
 
 
@@ -268,19 +372,21 @@ def align_self(
     ref_np = seq if isinstance(seq, np.ndarray) else encode(seq)
     n = len(ref_np)
 
-    from paramugsy_tpu.ops.encode import bucket_size, pad_to
+    if n > cfg.window:
+        return _align_self_windowed(ref_np, name, cfg)
+
     from paramugsy_tpu.ops.seeding import (
         repeat_cluster_packed,
         unpack_seed_clusters,
     )
 
-    ref_d = jnp.asarray(pad_to(ref_np, bucket_size(n)))
+    ref_d = device_codes(ref_np)
     ref_rc_np = revcomp_codes_np(ref_np)
-    ref_rc_d = jnp.asarray(pad_to(ref_rc_np, bucket_size(n)))
 
     packed = repeat_cluster_packed(
         ref_d,
-        ref_rc_d,
+        None,
+        jnp.int32(n),
         k=cfg.k,
         max_seeds=cfg.max_seeds,
         min_match=cfg.min_match,
@@ -306,6 +412,59 @@ def align_self(
         out.append(e)
     out.sort(key=lambda e: (e.ref_range.abs().start, e.query_range.abs().start))
     return out
+
+
+def _align_self_windowed(
+    ref_np: np.ndarray, name: str, cfg: AlignConfig
+) -> list[DeltaEntry]:
+    """Self-repeat detection beyond the seeding window.
+
+    Within-window repeats come from `align_self` per window; repeats whose
+    copies live in different windows are ordinary pairwise alignments
+    between window i and window j (i < j), which also keeps the canonical
+    copy1-before-copy2 orientation.
+    """
+    import dataclasses
+
+    n = len(ref_np)
+    sub = dataclasses.replace(cfg, window=1 << 62, post_filter=None)
+    wins = _windows(n, cfg)
+    entries: list[DeltaEntry] = []
+    for i, (rw0, rw1, rc0, rc1) in enumerate(wins):
+        for e in align_self(ref_np[rw0:rw1], name, sub):
+            rm = rw0 + (e.ref_range.abs().start + e.ref_range.abs().end) // 2
+            qm = rw0 + (e.query_range.abs().start + e.query_range.abs().end) // 2
+            if not (rc0 < rm <= rc1 and rc0 < qm <= rc1):
+                continue
+            entries.append(_shift_entry(e, rw0, rw0, n))
+        for qw0, qw1, qc0, qc1 in wins[i + 1 :]:
+            for e in align_pair(
+                ref_np[rw0:rw1], ref_np[qw0:qw1], name, name, sub
+            ):
+                rm = rw0 + (e.ref_range.abs().start + e.ref_range.abs().end) // 2
+                qm = qw0 + (e.query_range.abs().start + e.query_range.abs().end) // 2
+                if not (rc0 < rm <= rc1 and qc0 < qm <= qc1):
+                    continue
+                g = _shift_entry(e, rw0, qw0, n)
+                r, q = g.ref_range.abs(), g.query_range.abs()
+                if (r.start, r.end) == (q.start, q.end) or r.start >= q.start:
+                    continue
+                entries.append(g)
+    entries.sort(key=lambda e: (e.ref_range.abs().start, e.query_range.abs().start))
+    return entries
+
+
+def _shift_entry(e: DeltaEntry, r_off: int, q_off: int, n: int) -> DeltaEntry:
+    """Window-local entry -> global coordinates (same sequence length n)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        e,
+        ref_len=n,
+        query_len=n,
+        ref_range=Range(e.ref_range.start + r_off, e.ref_range.end + r_off),
+        query_range=Range(e.query_range.start + q_off, e.query_range.end + q_off),
+    )
 
 
 def filter_one_to_one(entries: list[DeltaEntry]) -> list[DeltaEntry]:

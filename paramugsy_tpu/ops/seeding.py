@@ -337,6 +337,18 @@ def find_seeds_both(
     )
 
 
+def revcomp_on_device(codes, n):
+    """Reverse-complement of the first ``n`` codes of a padded tensor.
+
+    Complement (N stays N), reverse, then roll the trailing padding back
+    to the end so strand-local coordinates stay 0-based at the sequence
+    start.  ``n`` may be a traced scalar: the roll amount is dynamic, the
+    shape is not.
+    """
+    rc = jnp.where(codes >= 4, codes, 3 - codes)[::-1]
+    return jnp.roll(rc, n - codes.shape[0])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -347,7 +359,8 @@ def find_seeds_both(
 def seed_cluster_both_packed(
     ref_codes,
     query_codes,
-    query_rc_codes,
+    query_rc_codes=None,
+    q_len=None,
     *,
     k: int = 16,
     max_seeds: int = 1 << 16,
@@ -377,6 +390,11 @@ def seed_cluster_both_packed(
     """
     from paramugsy_tpu.ops.chaining import cluster_seeds
 
+    if query_rc_codes is None:
+        # Compute the revcomp stream on device: saves a third of the
+        # host->device traffic (the dominant per-pair cost on a tunneled
+        # chip) and the host-side flip.
+        query_rc_codes = revcomp_on_device(query_codes, q_len)
     seeds = find_seeds_both(
         ref_codes, query_codes, query_rc_codes,
         k=k, max_seeds=max_seeds, unique_in_query=unique_in_query,
@@ -527,7 +545,8 @@ def find_repeat_seeds(
 )
 def repeat_cluster_packed(
     ref_codes,
-    ref_rc_codes,
+    ref_rc_codes=None,
+    r_len=None,
     *,
     k: int = 16,
     max_seeds: int = 1 << 16,
@@ -541,6 +560,8 @@ def repeat_cluster_packed(
     unpack on host with `unpack_seed_clusters`."""
     from paramugsy_tpu.ops.chaining import cluster_seeds
 
+    if ref_rc_codes is None:
+        ref_rc_codes = revcomp_on_device(ref_codes, r_len)
     seeds = find_repeat_seeds(
         ref_codes, ref_rc_codes, k=k, max_seeds=max_seeds
     )

@@ -108,13 +108,15 @@ def load_config(path: str) -> PipelineConfig:
 
 
 def genome_pair_deltas(
-    a: Genome, b: Genome, cfg: AlignConfig
+    a: Genome, b: Genome, cfg: AlignConfig, device_cache: dict | None = None
 ) -> list[DeltaEntry]:
     """All-contig-pairs pairwise alignment of two genomes (nucmer role)."""
     out: list[DeltaEntry] = []
     for ra_name, ra in a.seqs.items():
         for rb_name, rb in b.seqs.items():
-            out.extend(align_pair(ra, rb, ra_name, rb_name, cfg))
+            out.extend(
+                align_pair(ra, rb, ra_name, rb_name, cfg, device_cache)
+            )
     return out
 
 
@@ -142,6 +144,9 @@ class Aligner:
         self.cfg = cfg or PipelineConfig()
         self.genomes = {g.name: g for g in genomes}
         self._uid = 0
+        # Device-resident padded genome codes, shared across all pairs of
+        # the run (contig name + length -> device array).
+        self._device_cache: dict = {}
 
     def _next_uid(self) -> str:
         self._uid += 1
@@ -166,7 +171,8 @@ class Aligner:
                 self.cfg.log(f"pairwise {a} vs {b}")
                 deltas.extend(
                     genome_pair_deltas(
-                        self.genomes[a], self.genomes[b], self.cfg.align
+                        self.genomes[a], self.genomes[b], self.cfg.align,
+                        self._device_cache,
                     )
                 )
         uid = self._next_uid()

@@ -52,6 +52,9 @@ class JobExecutor:
         self.genomes = {g.name: g for g in genomes}
         self.sched = scheduler or PriorityScheduler(run_size)
         self.chunk_size = chunk_size
+        # Device-resident padded genome codes shared across pair tasks
+        # (dict writes are atomic under the GIL; a duplicate put is benign).
+        self._device_cache: dict = {}
         self._uid = 0
         self._on_task = on_task or (lambda phase, name: None)
         self.store = store
@@ -80,7 +83,8 @@ class JobExecutor:
         self._on_task("nucmer", f"{a}~{b}")
         with METRICS.phase("pairwise", items=1):
             deltas = genome_pair_deltas(
-                self.genomes[a], self.genomes[b], self.cfg.align
+                self.genomes[a], self.genomes[b], self.cfg.align,
+                self._device_cache,
             )
         if self.store is not None:
             self.store.save_pair(a, b, deltas)

@@ -336,3 +336,82 @@ class TestAlignSelf:
         }
         # adjacent-occurrence pairing: (c1,c2) and (c2,c3)
         assert (10, 60) in pairs and (60, 110) in pairs
+
+
+class TestWindowedAlignment:
+    """Sequence-axis decomposition: contigs beyond the seeding window are
+    cut into overlapping windows; every locus reported by exactly one
+    window pair (midpoint-in-core rule)."""
+
+    def _pair(self, n=60000, seed=4):
+        rng = np.random.default_rng(seed)
+        ref = rng.integers(0, 4, size=n).astype(np.int8)
+        q = ref.copy()
+        m = rng.random(n) < 0.01
+        q[m] = ((q[m] + 1) % 4).astype(np.int8)
+        q = np.concatenate([q[:20000], q[20020:]])
+        a, b = 35000, 41000
+        q = np.concatenate([q[:a], (3 - q[a:b])[::-1], q[b:]])
+        return ref, q
+
+    def test_same_coverage_as_unwindowed(self):
+        from paramugsy_tpu.ops.encode import decode
+
+        ref, q = self._pair()
+        base = align_pair(ref, q, "R.c", "Q.c", AlignConfig())
+        wcfg = AlignConfig(window=1 << 14, window_overlap=1 << 12)
+        win = align_pair(ref, q, "R.c", "Q.c", wcfg)
+
+        def cov(entries):
+            c = np.zeros(len(ref), bool)
+            for e in entries:
+                r = e.ref_range.abs()
+                c[r.start - 1 : r.end] = True
+            return c
+
+        assert (cov(win) == cov(base)).all()
+        assert sum(not e.query_range.is_forward for e in win) >= 1
+        rt, qt = decode(ref), decode(q)
+        keys = set()
+        for e in win:
+            check_delta_valid(e)
+            assert entry_identity(e, rt, qt) > 0.95
+            k = (e.ref_range.start, e.ref_range.end,
+                 e.query_range.start, e.query_range.end)
+            assert k not in keys
+            keys.add(k)
+
+    def test_windowed_post_filter_applies_globally(self):
+        ref, q = self._pair()
+        wcfg = AlignConfig(
+            window=1 << 14, window_overlap=1 << 12, post_filter="one_to_one"
+        )
+        win = align_pair(ref, q, "R.c", "Q.c", wcfg)
+        last = 0
+        for e in win:
+            assert e.ref_range.abs().start > last
+            last = e.ref_range.abs().end
+
+    def test_windowed_align_self(self):
+        from paramugsy_tpu.ops.align_pair import align_self
+
+        rng = np.random.default_rng(3)
+        n = 60000
+        g = rng.integers(0, 4, size=n).astype(np.int8)
+        g[40000:41000] = g[2000:3000]
+        g[52000:52600] = (3 - g[5000:5600])[::-1]
+        g[21000:21400] = g[20000:20400]
+        base = align_self(g, "G.c", AlignConfig())
+        win = align_self(
+            g, "G.c", AlignConfig(window=1 << 14, window_overlap=1 << 12)
+        )
+
+        def norm(es):
+            return sorted(
+                (e.ref_range.abs().start // 50,
+                 e.query_range.abs().start // 50,
+                 e.query_range.is_forward)
+                for e in es if e.alignment_length() >= 100
+            )
+
+        assert norm(base) == norm(win)
