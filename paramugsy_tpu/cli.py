@@ -175,6 +175,63 @@ def _nucmer_main(argv: list[str]) -> int:
     return 0
 
 
+def _mugsy_main(argv: list[str]) -> int:
+    """The mugsy_mugsy worker role (lib/mugsy/mugsy_mugsy.ml): one
+    multi-genome LCB call over precomputed pairwise MAFs."""
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="paramugsy-tpu mugsy")
+    ap.add_argument("-out_dir", required=True)
+    ap.add_argument("-basename", default="mugsy")
+    ap.add_argument("-seq_list", required=True, help="file listing genome FASTAs")
+    ap.add_argument(
+        "-maf_list", help="file listing pairwise MAF paths (pairs not "
+        "covered are aligned on device)"
+    )
+    ap.add_argument("-minlength", type=int, default=30)
+    ap.add_argument("-distance", type=int, default=200)
+    ap.add_argument("-colinear", action="store_true", help="refine colinear role")
+    ap.add_argument("-skipunique", action="store_true")
+    ap.add_argument("-dup_list", help="file listing duplication MAF paths")
+    args = ap.parse_args(argv)
+
+    import os
+
+    from paramugsy_tpu.formats.delta_maf import maf_blocks_to_deltas
+    from paramugsy_tpu.formats.maf import MAF_HEADER, read_maf, write_maf
+    from paramugsy_tpu.ops.align_pair import AlignConfig
+    from paramugsy_tpu.pipeline import (
+        Aligner,
+        PipelineConfig,
+        finalize_blocks,
+        gather_dup_blocks,
+        load_genome,
+    )
+
+    def read_list(path):
+        with open(path) as f:
+            return [l.strip() for l in f if l.strip()]
+
+    genomes = [load_genome(p) for p in read_list(args.seq_list)]
+    pool = []
+    for maf in read_list(args.maf_list) if args.maf_list else []:
+        pool.extend(maf_blocks_to_deltas(read_maf(maf)))
+    cfg = PipelineConfig(
+        min_length=args.minlength,
+        emit_unique=not args.skipunique,
+        refine=args.colinear,
+        dup_list=read_list(args.dup_list) if args.dup_list else [],
+        align=AlignConfig(break_len=args.distance),
+    )
+    aligner = Aligner(genomes, cfg, delta_pool=pool)
+    blocks = finalize_blocks(aligner.run(), gather_dup_blocks(genomes, cfg))
+    os.makedirs(args.out_dir, exist_ok=True)
+    out_maf = os.path.join(args.out_dir, f"{args.basename}.maf")
+    write_maf(out_maf, blocks, header=MAF_HEADER)
+    print(out_maf)  # the reference prints the produced MAF path
+    return 0
+
+
 def _repeats_main(argv: list[str]) -> int:
     import argparse
 
@@ -277,7 +334,7 @@ def _profiles_main(argv: list[str]) -> int:
     return 2
 
 
-_DEVICE_COMMANDS = {"align", "local", "nucmer", "repeats"}
+_DEVICE_COMMANDS = {"align", "local", "nucmer", "repeats", "mugsy"}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -290,7 +347,7 @@ def main(argv: list[str] | None = None) -> int:
         enable_compilation_cache()
     if not argv:
         print(
-            "usage: paramugsy-tpu {align|local|nucmer|repeats|profiles|mafstat|"
+            "usage: paramugsy-tpu {align|local|nucmer|mugsy|repeats|profiles|mafstat|"
             "mafvalidate|mafclean|fastafmt|mafdefrag|maffiller|analyzer|"
             "sortdelta} ...",
             file=sys.stderr,
@@ -303,6 +360,8 @@ def main(argv: list[str] | None = None) -> int:
         return _nucmer_main(rest)
     if cmd == "repeats":
         return _repeats_main(rest)
+    if cmd == "mugsy":
+        return _mugsy_main(rest)
     if cmd == "profiles":
         return _profiles_main(rest)
     if cmd == "mafstat":

@@ -76,6 +76,23 @@ class DeltaEntry:
             errors=self.errors,
         )
 
+    def swapped(self) -> "DeltaEntry":
+        """Exchange ref/query roles, normalized so the ref row stays
+        forward (the alignment is flipped when the old query row was
+        reverse-strand)."""
+        e = DeltaEntry(
+            ref_name=self.query_name,
+            query_name=self.ref_name,
+            ref_len=self.query_len,
+            query_len=self.ref_len,
+            ref_range=self.query_range,
+            query_range=self.ref_range,
+            ref_gaps=list(self.query_gaps),
+            query_gaps=list(self.ref_gaps),
+            errors=self.errors,
+        )
+        return e if e.ref_range.is_forward else e.reverse()
+
 
 def gaps_of_offsets(offsets: list[int]) -> tuple[list[Range], list[Range]]:
     """Signed MUMmer offsets -> (ref_gaps, query_gaps) as position ranges."""

@@ -68,3 +68,51 @@ def delta_to_maf_blocks(
             text=_row_text(query_seq, de.query_range, de.query_gaps, length),
         )
         yield MafBlock(seqs=[ref_row, query_row], score=score, attrs={"label": "1", "mult": "2"})
+
+
+def _gap_ranges(text: str) -> list[Range]:
+    """1-indexed alignment-column runs of '-' in a gapped row."""
+    arr = np.frombuffer(text.encode(), dtype=np.uint8) == GAP
+    if not arr.any():
+        return []
+    d = np.diff(arr.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1)
+    if arr[0]:
+        starts = np.concatenate([[0], starts])
+    if arr[-1]:
+        ends = np.concatenate([ends, [len(arr) - 1]])
+    return [Range(int(s) + 1, int(e) + 1) for s, e in zip(starts, ends)]
+
+
+def maf_blocks_to_deltas(blocks: Iterable[MafBlock]) -> Iterator[DeltaEntry]:
+    """Inverse of `delta_to_maf_blocks`: two-row MAF blocks -> delta entries.
+
+    Lets precomputed pairwise MAFs (the reference's -maf_list inputs,
+    lib/mugsy/mugsy_mugsy.ml:107-116) feed the merge machinery, which
+    consumes deltas.  Blocks are normalized so the ref row is forward
+    (both rows flipped when needed); blocks with other than 2 rows are
+    skipped.
+    """
+    for b in blocks:
+        if len(b.seqs) != 2:
+            continue
+        r, q = b.seqs
+        rr, qr = r.range(), q.range()
+        r_gaps, q_gaps = _gap_ranges(r.text), _gap_ranges(q.text)
+        if not rr.is_forward:
+            # flip both rows so ref is forward; gap columns mirror
+            L = len(r.text)
+            rr, qr = rr.reverse(), qr.reverse()
+            r_gaps = [Range(L - g.end + 1, L - g.start + 1) for g in reversed(r_gaps)]
+            q_gaps = [Range(L - g.end + 1, L - g.start + 1) for g in reversed(q_gaps)]
+        yield DeltaEntry(
+            ref_name=r.name,
+            query_name=q.name,
+            ref_len=r.src_size,
+            query_len=q.src_size,
+            ref_range=rr,
+            query_range=qr,
+            ref_gaps=r_gaps,
+            query_gaps=q_gaps,
+        )

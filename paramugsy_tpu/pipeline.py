@@ -138,15 +138,40 @@ def fake_mugsy_blocks(g: Genome) -> list[MafBlock]:
 
 
 class Aligner:
-    """Executes the job tree sequentially in one process."""
+    """Executes the job tree sequentially in one process.
 
-    def __init__(self, genomes: list[Genome], cfg: PipelineConfig | None = None):
+    ``delta_pool``: precomputed pairwise delta entries (e.g. converted from
+    the reference's -maf_list pairwise MAFs, lib/mugsy/mugsy_mugsy.ml:37-48).
+    Pairs covered by the pool are not recomputed; uncovered pairs are
+    aligned on device.
+    """
+
+    def __init__(
+        self,
+        genomes: list[Genome],
+        cfg: PipelineConfig | None = None,
+        delta_pool: list[DeltaEntry] | None = None,
+    ):
         self.cfg = cfg or PipelineConfig()
         self.genomes = {g.name: g for g in genomes}
         self._uid = 0
         # Device-resident padded genome codes, shared across all pairs of
         # the run (contig name + length -> device array).
         self._device_cache: dict = {}
+        # Pool index: (ref genome, query genome) -> entries.
+        self._pool: dict = {}
+        if delta_pool:
+            contig_genome = {
+                contig: g.name
+                for g in genomes
+                for contig in g.seqs
+            }
+            for e in delta_pool:
+                ga = contig_genome.get(e.ref_name)
+                gb = contig_genome.get(e.query_name)
+                if ga is None or gb is None or ga == gb:
+                    continue
+                self._pool.setdefault((ga, gb), []).append(e)
 
     def _next_uid(self) -> str:
         self._uid += 1
@@ -168,13 +193,18 @@ class Aligner:
         deltas: list[DeltaEntry] = []
         for a in left:
             for b in right:
-                self.cfg.log(f"pairwise {a} vs {b}")
-                deltas.extend(
-                    genome_pair_deltas(
-                        self.genomes[a], self.genomes[b], self.cfg.align,
-                        self._device_cache,
+                if (a, b) in self._pool:
+                    deltas.extend(self._pool[a, b])
+                elif (b, a) in self._pool:
+                    deltas.extend(e.swapped() for e in self._pool[b, a])
+                else:
+                    self.cfg.log(f"pairwise {a} vs {b}")
+                    deltas.extend(
+                        genome_pair_deltas(
+                            self.genomes[a], self.genomes[b], self.cfg.align,
+                            self._device_cache,
+                        )
                     )
-                )
         uid = self._next_uid()
         self.cfg.log(f"merge {len(left)}+{len(right)} genomes ({uid})")
         return merge_blocks(

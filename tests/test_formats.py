@@ -199,3 +199,54 @@ class TestXmfaReader:
         for a, b in zip(blocks, back):
             assert [(s.name, s.start, s.size, s.strand, s.src_size, s.text) for s in a.seqs] == \
                    [(s.name, s.start, s.size, s.strand, s.src_size, s.text) for s in b.seqs]
+
+
+class TestMafDeltaRoundTrip:
+    """maf_blocks_to_deltas is the inverse of delta_to_maf_blocks."""
+
+    def _entries_and_seqs(self):
+        import numpy as np
+
+        from paramugsy_tpu.ops.align_pair import AlignConfig, align_pair
+        from paramugsy_tpu.ops.encode import decode
+
+        rng = np.random.default_rng(17)
+        n = 8000
+        ref = rng.integers(0, 4, size=n).astype(np.int8)
+        q = ref.copy()
+        m = rng.random(n) < 0.02
+        q[m] = ((q[m] + 1) % 4).astype(np.int8)
+        q = np.concatenate([q[:3000], q[3015:]])
+        inv = (3 - q[5000:6000])[::-1]
+        q = np.concatenate([q[:5000], inv, q[6000:]])
+        entries = align_pair(ref, q, "R.c", "Q.c", AlignConfig())
+        return entries, {"R.c": decode(ref)}, {"Q.c": decode(q)}
+
+    def test_round_trip(self):
+        from paramugsy_tpu.formats.delta_maf import (
+            delta_to_maf_blocks,
+            maf_blocks_to_deltas,
+        )
+
+        entries, rs, qs = self._entries_and_seqs()
+        blocks = list(delta_to_maf_blocks(entries, rs, qs))
+        back = list(maf_blocks_to_deltas(blocks))
+        assert len(back) == len(entries)
+        for a, b in zip(entries, back):
+            assert (a.ref_range, a.query_range) == (b.ref_range, b.query_range)
+            assert a.ref_gaps == b.ref_gaps and a.query_gaps == b.query_gaps
+            assert (a.ref_len, a.query_len) == (b.ref_len, b.query_len)
+
+    def test_swapped_consistent(self):
+        from paramugsy_tpu.formats.delta_maf import delta_to_maf_blocks
+
+        entries, rs, qs = self._entries_and_seqs()
+        for e in entries:
+            s = e.swapped()
+            assert s.ref_range.is_forward
+            assert s.ref_name == "Q.c" and s.query_name == "R.c"
+            assert s.alignment_length() == e.alignment_length()
+            # swapped entry renders valid rows over the swapped sequences
+            (blk,) = delta_to_maf_blocks([s], qs, rs)
+            texts = [row.text.replace("-", "") for row in blk.seqs]
+            assert all(texts)

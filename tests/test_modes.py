@@ -156,3 +156,45 @@ class TestPostFilterAndRetries:
         tree = Aligner(genomes, cfg).job_tree()
         blocks = ex.execute(tree)
         assert blocks and fails["n"] == 2
+
+
+class TestMugsySubcommand:
+    """The mugsy_mugsy worker role: -seq_list + -maf_list -> merged MAF."""
+
+    def test_mugsy_with_precomputed_mafs(self, tmp_path):
+        import numpy as np
+
+        from paramugsy_tpu.cli import main as cli_main
+        from paramugsy_tpu.formats.maf import read_maf
+        from paramugsy_tpu.tools.mafvalidate import find_faults
+
+        rng = np.random.default_rng(23)
+        bases = "ACGT"
+        anc = "".join(bases[i] for i in rng.integers(4, size=4000))
+        paths = []
+        for name in ("p1", "p2"):
+            s = list(anc)
+            for j in rng.choice(len(s), 40, replace=False):
+                s[j] = bases[rng.integers(4)]
+            (tmp_path / f"{name}.fa").write_text(f">chr\n{''.join(s)}\n")
+            paths.append(str(tmp_path / f"{name}.fa"))
+        (tmp_path / "seqs.list").write_text("\n".join(paths) + "\n")
+
+        # precompute the pairwise MAF with the nucmer role
+        pair_maf = str(tmp_path / "pair.maf")
+        rc = cli_main(
+            ["nucmer", "-ref_seq", paths[0], "-query_seq", paths[1],
+             "-out_maf", pair_maf]
+        )
+        assert rc == 0
+        (tmp_path / "mafs.list").write_text(pair_maf + "\n")
+
+        rc = cli_main(
+            ["mugsy", "-out_dir", str(tmp_path / "out"), "-basename", "m",
+             "-seq_list", str(tmp_path / "seqs.list"),
+             "-maf_list", str(tmp_path / "mafs.list")]
+        )
+        assert rc == 0
+        blocks = list(read_maf(str(tmp_path / "out" / "m.maf")))
+        assert blocks and find_faults(blocks) == []
+        assert any(len(b.seqs) == 2 for b in blocks)
