@@ -84,8 +84,37 @@ def main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser(prog="mafdefrag")
     ap.add_argument("in_maf")
     ap.add_argument("out_maf")
+    ap.add_argument(
+        "-synchain",
+        help="also write the adjacent-anchor edge file for an external "
+        "chainer (the reference's synchain input, mafdefrag/main.ml:3-61)",
+    )
+    ap.add_argument(
+        "-chained",
+        help="verify an external chainer's output file (I/V format) "
+        "against contiguity before stitching; exit 1 on faults",
+    )
     args = ap.parse_args(argv)
-    blocks = stitch_blocks(read_maf(args.in_maf))
+    in_blocks = list(read_maf(args.in_maf))
+    if args.synchain:
+        from paramugsy_tpu.tools.synchain import write_synchain
+
+        with open(args.synchain, "w") as f:
+            write_synchain(in_blocks, f)
+    if args.chained:
+        from paramugsy_tpu.tools.synchain import read_chained, verify_chains
+
+        with open(args.chained) as f:
+            chains = read_chained(f)
+        faults = verify_chains(chains)
+        if faults:
+            for acc, a, b in faults:
+                print(
+                    f"chain fault: accession {acc} "
+                    f"{a.start}-{a.end} !~ {b.start}-{b.end}"
+                )
+            return 1
+    blocks = stitch_blocks(in_blocks)
     write_maf(args.out_maf, blocks)
     print(f"stitched into {len(blocks)} blocks")
     return 0

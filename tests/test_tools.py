@@ -222,3 +222,68 @@ class TestCliEdges:
 
         with _pytest.raises(SystemExit):
             self.run_cli("align", "-out_maf", "/tmp/x.maf")
+
+
+class TestSynchain:
+    """Synchain edge-file writer + chained reader/verifier (the stages the
+    reference's mafdefrag left stubbed)."""
+
+    def test_write_synchain_edges(self, tmp_path):
+        import io
+
+        from paramugsy_tpu.formats.maf import read_maf
+        from paramugsy_tpu.tools.synchain import write_synchain
+
+        blocks = list(read_maf("tests/data/highly_stitchable.maf"))
+        buf = io.StringIO()
+        write_synchain(blocks, buf)
+        lines = [l.split() for l in buf.getvalue().splitlines()]
+        assert lines
+        for cols in lines:
+            assert len(cols) == 11
+            idxl, idxr = int(cols[0]), int(cols[1])
+            assert 0 <= idxl < len(blocks) and 0 <= idxr < len(blocks)
+            s1s, s1e, s2s, s2e = map(int, cols[7:11])
+            dist = int(cols[3])
+            assert dist == s2s - s1e  # real distance (reference bug fixed)
+            assert cols[5] in "+-" and cols[6] in "+-"
+        # the fixture's adjacent blocks are contiguous: dist 1 edges exist
+        assert any(int(c[3]) == 1 for c in lines)
+
+    def test_chained_round_trip_and_verify(self):
+        import io
+
+        from paramugsy_tpu.tools.synchain import read_chained, verify_chains
+
+        text = (
+            "V 120\n"
+            "I 0 + 10-20 1 - 30-40 ;\n"
+            "I 0 + 20-25 ;\n"
+        )
+        chains = read_chained(io.StringIO(text))
+        assert len(chains) == 2
+        assert chains[0][0].start == 10 and chains[0][0].end == 19
+        assert chains[0][1].forward is False
+        # accession 0: [10,19] then [20,24] -> contiguous; accession 1 single
+        assert verify_chains(chains) == []
+        bad = read_chained(io.StringIO("I 0 + 10-20 0 + 25-30 ;\n"))
+        assert len(verify_chains(bad)) == 1
+
+    def test_mafdefrag_cli_flags(self, tmp_path):
+        from paramugsy_tpu.cli import main as cli_main
+
+        out = str(tmp_path / "out.maf")
+        edges = str(tmp_path / "edges.txt")
+        rc = cli_main(
+            ["mafdefrag", "tests/data/highly_stitchable.maf", out,
+             "-synchain", edges]
+        )
+        assert rc == 0
+        assert open(edges).read().strip()
+        bad = tmp_path / "bad_chain.txt"
+        bad.write_text("I 0 + 10-20 0 + 25-30 ;\n")
+        rc = cli_main(
+            ["mafdefrag", "tests/data/highly_stitchable.maf", out,
+             "-chained", str(bad)]
+        )
+        assert rc == 1
