@@ -65,8 +65,18 @@ def _align_main(argv: list[str]) -> int:
         "-stats", action="store_true",
         help="print phase timings and peak RSS at the end",
     )
+    ap.add_argument(
+        "-trace",
+        help="write a Chrome trace-event JSON of all phases (open in "
+        "chrome://tracing or Perfetto)",
+    )
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.trace:
+        from paramugsy_tpu.utils.obs import TRACE
+
+        TRACE.enable()
 
     paths = list(args.fastas)
     if args.seq_list:
@@ -114,6 +124,11 @@ def _align_main(argv: list[str]) -> int:
             process_index=process_index, process_count=process_count,
         )
     print(f"wrote {args.out_maf}: {len(blocks)} blocks", file=sys.stderr)
+    if args.trace:
+        from paramugsy_tpu.utils.obs import TRACE
+
+        TRACE.save(args.trace)
+        print(f"trace written to {args.trace}", file=sys.stderr)
     if args.stats:
         from paramugsy_tpu.utils.obs import METRICS, MemoryMonitor
 

@@ -47,6 +47,62 @@ class PhaseStats:
         return self.total_s / self.count if self.count else 0.0
 
 
+class TraceRecorder:
+    """Chrome trace-event recorder (chrome://tracing / Perfetto format).
+
+    The reference's only tracing was date-stamp echoes in task scripts;
+    here every metrics phase becomes a complete ("X") event with real
+    thread ids, so scheduler overlap is directly visible.  Disabled until
+    `enable()`; `save()` writes the JSON file.
+    """
+
+    def __init__(self):
+        self.enabled = False
+        self._events: list[dict] = []
+        self._lock = threading.Lock()
+        self._t0 = time.perf_counter()
+
+    def enable(self) -> None:
+        self.enabled = True
+        self._t0 = time.perf_counter()
+
+    def add_complete(self, name: str, start_s: float, dur_s: float) -> None:
+        if not self.enabled:
+            return
+        ev = {
+            "name": name,
+            "ph": "X",
+            "ts": round((start_s - self._t0) * 1e6, 1),
+            "dur": round(dur_s * 1e6, 1),
+            "pid": 0,
+            "tid": threading.get_ident() % 100000,
+        }
+        with self._lock:
+            self._events.append(ev)
+
+    def instant(self, name: str) -> None:
+        if not self.enabled:
+            return
+        ev = {
+            "name": name,
+            "ph": "i",
+            "ts": round((time.perf_counter() - self._t0) * 1e6, 1),
+            "pid": 0,
+            "tid": threading.get_ident() % 100000,
+            "s": "t",
+        }
+        with self._lock:
+            self._events.append(ev)
+
+    def save(self, path: str) -> None:
+        import json
+
+        with self._lock:
+            events = list(self._events)
+        with open(path, "w") as f:
+            json.dump({"traceEvents": events}, f)
+
+
 class Metrics:
     """Thread-safe phase timing + throughput counters."""
 
@@ -61,6 +117,7 @@ class Metrics:
             yield
         finally:
             dt = time.perf_counter() - t0
+            TRACE.add_complete(name, t0, dt)
             with self._lock:
                 st = self.phases.setdefault(name, PhaseStats())
                 st.count += 1
@@ -87,6 +144,7 @@ class Metrics:
 
 
 LOGGER = Logger(enabled=False)
+TRACE = TraceRecorder()
 METRICS = Metrics()
 
 

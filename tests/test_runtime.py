@@ -179,3 +179,26 @@ class TestConfigFile:
         p.write_text(json.dumps({"not_a_field": 1}))
         with pytest.raises(ValueError):
             load_config(str(p))
+
+
+class TestTrace:
+    def test_trace_events_written(self, tmp_path):
+        import json
+
+        from paramugsy_tpu.utils.obs import TRACE, METRICS
+
+        TRACE.enable()
+        try:
+            with METRICS.phase("unit-test-phase"):
+                pass
+            TRACE.instant("unit-test-marker")
+            out = tmp_path / "trace.json"
+            TRACE.save(str(out))
+            data = json.loads(out.read_text())
+            names = [e["name"] for e in data["traceEvents"]]
+            assert "unit-test-phase" in names
+            assert "unit-test-marker" in names
+            x = next(e for e in data["traceEvents"] if e["name"] == "unit-test-phase")
+            assert x["ph"] == "X" and "dur" in x and "tid" in x
+        finally:
+            TRACE.enabled = False
