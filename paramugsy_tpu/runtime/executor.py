@@ -212,7 +212,9 @@ class JobExecutor:
         try:
             return self._process(tree, priority=0).result()
         finally:
-            self.sched.stop(wait=False)
+            # Join worker threads: daemon threads killed mid-TPU-call at
+            # interpreter teardown crash the device client.
+            self.sched.stop(wait=True)
 
 
 def align_fastas_concurrent(
