@@ -60,6 +60,10 @@ def _align_main(argv: list[str]) -> int:
         help="join the jax.distributed world; pairs partition across hosts "
         "sharing -tmp_dir",
     )
+    ap.add_argument(
+        "-tree", help="Newick guide-tree file (leaf names = genome names); "
+        "overrides the built-in sketch+UPGMA tree",
+    )
     ap.add_argument("-config", help="JSON config file (PipelineConfig fields)")
     ap.add_argument(
         "-stats", action="store_true",
@@ -98,6 +102,9 @@ def _align_main(argv: list[str]) -> int:
             refine=args.refine is not None,
             align=AlignConfig(break_len=args.distance),
         )
+    if args.tree:
+        with open(args.tree) as f:
+            cfg.guide_tree_newick = f.read().strip()
     if args.duplications:
         cfg.duplications = True
     if args.dup_list:
@@ -188,6 +195,37 @@ def _nucmer_main(argv: list[str]) -> int:
         )
     print(f"{len(entries)} alignments", file=sys.stderr)
     return 0
+
+
+def _sge_main(argv: list[str]) -> int:
+    """The reference's ``paramugsy sge`` mode (lib/base/paramugsy.ml:232-248).
+
+    Cluster scheduling + rsync staging are superseded by jax.distributed +
+    a shared artifact store: this maps to ``align -distributed`` and warns
+    about SGE-only flags it absorbs (-template_file, -exec_q, -data_q).
+    """
+    passthrough: list[str] = []
+    skip_next = False
+    absorbed = []
+    for a in argv:
+        if skip_next:
+            skip_next = False
+            continue
+        if a in ("-template_file", "-template-file", "-exec_q", "-exec-q",
+                 "-data_q", "-data-q"):
+            absorbed.append(a)
+            skip_next = True
+            continue
+        passthrough.append(a)
+    if absorbed:
+        print(
+            f"sge: flags {absorbed} are superseded by jax.distributed + "
+            "the shared -tmp_dir artifact store; ignoring",
+            file=sys.stderr,
+        )
+    if "-distributed" not in passthrough:
+        passthrough.append("-distributed")
+    return _align_main(passthrough)
 
 
 def _mugsy_main(argv: list[str]) -> int:
@@ -349,7 +387,7 @@ def _profiles_main(argv: list[str]) -> int:
     return 2
 
 
-_DEVICE_COMMANDS = {"align", "local", "nucmer", "repeats", "mugsy"}
+_DEVICE_COMMANDS = {"align", "local", "sge", "nucmer", "repeats", "mugsy"}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -371,6 +409,8 @@ def main(argv: list[str] | None = None) -> int:
     cmd, rest = argv[0], argv[1:]
     if cmd in ("align", "local"):
         return _align_main(rest)
+    if cmd == "sge":
+        return _sge_main(rest)
     if cmd == "nucmer":
         return _nucmer_main(rest)
     if cmd == "repeats":

@@ -69,6 +69,9 @@ class PipelineConfig:
     # duplications and emit them as extra labeled blocks.
     duplications: bool = False
     dup_list: list = field(default_factory=list)  # precomputed dup MAF paths
+    # Optional user-supplied guide tree (Newick); overrides the k-mer
+    # sketch + UPGMA tree.  Leaf names must be genome (species) names.
+    guide_tree_newick: Optional[str] = None
     progress: Optional[Callable[[str], None]] = None
 
     def log(self, msg: str) -> None:
@@ -178,6 +181,19 @@ class Aligner:
         return f"n{self._uid:04d}"
 
     def guide_tree(self) -> GuideTree:
+        if self.cfg.guide_tree_newick:
+            from paramugsy_tpu.tree.guide_tree import parse_newick
+
+            tree = parse_newick(self.cfg.guide_tree_newick)
+            leaves = set(tree.leaves())
+            missing = set(self.genomes) - leaves
+            extra = leaves - set(self.genomes)
+            if missing or extra:
+                raise ValueError(
+                    f"guide tree/genome mismatch: missing={sorted(missing)} "
+                    f"extra={sorted(extra)}"
+                )
+            return tree
         names = list(self.genomes)
         codes = [self.genomes[n].concat_codes() for n in names]
         return guide_tree_of_seqs(codes, names, k=self.cfg.distance_k)

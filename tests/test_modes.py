@@ -198,3 +198,61 @@ class TestMugsySubcommand:
         blocks = list(read_maf(str(tmp_path / "out" / "m.maf")))
         assert blocks and find_faults(blocks) == []
         assert any(len(b.seqs) == 2 for b in blocks)
+
+
+class TestGuideTreeAndSge:
+    def _fastas(self, tmp_path):
+        import numpy as np
+
+        rng = np.random.default_rng(31)
+        bases = "ACGT"
+        anc = "".join(bases[i] for i in rng.integers(4, size=3000))
+        paths = []
+        for name in ("ga", "gb", "gc"):
+            s = list(anc)
+            for j in rng.choice(len(s), 30, replace=False):
+                s[j] = bases[rng.integers(4)]
+            (tmp_path / f"{name}.fa").write_text(f">chr\n{''.join(s)}\n")
+            paths.append(str(tmp_path / f"{name}.fa"))
+        return paths
+
+    def test_user_newick_tree(self, tmp_path):
+        from paramugsy_tpu.cli import main as cli_main
+        from paramugsy_tpu.formats.maf import read_maf
+        from paramugsy_tpu.tools.mafvalidate import find_faults
+
+        paths = self._fastas(tmp_path)
+        tree = tmp_path / "tree.nwk"
+        tree.write_text("((ga,gc),gb);\n")
+        out = str(tmp_path / "out.maf")
+        rc = cli_main(
+            ["align", *paths, "-out_maf", out, "-sequential",
+             "-tree", str(tree)]
+        )
+        assert rc == 0
+        assert find_faults(list(read_maf(out))) == []
+
+    def test_tree_mismatch_rejected(self, tmp_path):
+        import pytest
+
+        from paramugsy_tpu.pipeline import Aligner, PipelineConfig, load_genome
+
+        paths = self._fastas(tmp_path)
+        genomes = [load_genome(p) for p in paths]
+        cfg = PipelineConfig(guide_tree_newick="((ga,zz),gb);")
+        with pytest.raises(ValueError, match="mismatch"):
+            Aligner(genomes, cfg).guide_tree()
+
+    def test_sge_alias_single_process(self, tmp_path, capsys):
+        from paramugsy_tpu.cli import main as cli_main
+
+        paths = self._fastas(tmp_path)
+        out = str(tmp_path / "out.maf")
+        rc = cli_main(
+            ["sge", *paths, "-out_maf", out,
+             "-template_file", "/dev/null", "-exec_q", "all.q",
+             "-tmp_dir", str(tmp_path / "store")]
+        )
+        assert rc == 0
+        err = capsys.readouterr().err
+        assert "superseded" in err
