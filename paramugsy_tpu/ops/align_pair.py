@@ -30,7 +30,12 @@ class AlignConfig:
     band: int = 16
     min_cluster: int = 65  # nucmer -c
     break_len: int = 200  # nucmer -b
-    max_seeds: int = 1 << 16
+    # Seed capacity: sized for ~1%-diverged bacterial pairs (a 2 Mbp pair
+    # yields ~18k merged runs); `_chain_seeds_all` auto-retries with a
+    # doubled bucket on overflow, so this bounds the d2h transfer, not
+    # correctness.
+    max_seeds: int = 1 << 15
+    max_seeds_cap: int = 1 << 18
     max_clusters: int = 4096
     unique_in_query: bool = False  # nucmer --mum vs --mumreference
     scoring: Scoring = field(default_factory=Scoring)
@@ -68,20 +73,29 @@ def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
         unpack_seed_clusters,
     )
 
-    packed = seed_cluster_both_packed(
-        ref_codes,
-        q_codes,
-        None,
-        jnp.int32(q_len),
-        k=cfg.k,
-        max_seeds=cfg.max_seeds,
-        unique_in_query=cfg.unique_in_query,
-        min_match=cfg.min_match,
-        band=cfg.band,
-        max_gap=cfg.max_gap,
-        max_clusters=cfg.max_clusters,
-    )
-    _, _, strands = unpack_seed_clusters(packed, cfg.max_seeds, cfg.max_clusters)
+    max_seeds = cfg.max_seeds
+    while True:
+        packed = seed_cluster_both_packed(
+            ref_codes,
+            q_codes,
+            None,
+            jnp.int32(q_len),
+            k=cfg.k,
+            max_seeds=max_seeds,
+            unique_in_query=cfg.unique_in_query,
+            min_match=cfg.min_match,
+            band=cfg.band,
+            max_gap=cfg.max_gap,
+            max_clusters=cfg.max_clusters,
+        )
+        _, n_runs, strands = unpack_seed_clusters(packed, max_seeds, cfg.max_clusters)
+        m_eff = len(strands[0].seed_rpos)
+        if n_runs <= m_eff or max_seeds >= cfg.max_seeds_cap:
+            break
+        # Overflow: merged runs were truncated; redo with a bigger bucket.
+        max_seeds = min(
+            cfg.max_seeds_cap, max(max_seeds * 2, 1 << (n_runs - 1).bit_length())
+        )
     return _chains_of_strands(strands, cfg)
 
 
@@ -383,18 +397,25 @@ def align_self(
     ref_d = device_codes(ref_np)
     ref_rc_np = revcomp_codes_np(ref_np)
 
-    packed = repeat_cluster_packed(
-        ref_d,
-        None,
-        jnp.int32(n),
-        k=cfg.k,
-        max_seeds=cfg.max_seeds,
-        min_match=cfg.min_match,
-        band=cfg.band,
-        max_gap=cfg.max_gap,
-        max_clusters=cfg.max_clusters,
-    )
-    _, _, strands = unpack_seed_clusters(packed, cfg.max_seeds, cfg.max_clusters)
+    max_seeds = cfg.max_seeds
+    while True:
+        packed = repeat_cluster_packed(
+            ref_d,
+            None,
+            jnp.int32(n),
+            k=cfg.k,
+            max_seeds=max_seeds,
+            min_match=cfg.min_match,
+            band=cfg.band,
+            max_gap=cfg.max_gap,
+            max_clusters=cfg.max_clusters,
+        )
+        _, n_runs, strands = unpack_seed_clusters(packed, max_seeds, cfg.max_clusters)
+        if n_runs <= len(strands[0].seed_rpos) or max_seeds >= cfg.max_seeds_cap:
+            break
+        max_seeds = min(
+            cfg.max_seeds_cap, max(max_seeds * 2, 1 << (n_runs - 1).bit_length())
+        )
 
     entries: list[DeltaEntry] = []
     for chain in _chains_of_strands(strands, cfg):

@@ -415,3 +415,30 @@ class TestWindowedAlignment:
             )
 
         assert norm(base) == norm(win)
+
+
+class TestSeedOverflowRetry:
+    def test_tiny_bucket_converges_to_full_result(self):
+        rng = np.random.default_rng(8)
+        n = 50000
+        ref = rng.integers(0, 4, size=n).astype(np.int8)
+        q = ref.copy()
+        m = rng.random(n) < 0.02
+        q[m] = ((q[m] + 1) % 4).astype(np.int8)
+        small = align_pair(ref, q, "R.c", "Q.c", AlignConfig(max_seeds=1 << 8))
+        full = align_pair(ref, q, "R.c", "Q.c", AlignConfig(max_seeds=1 << 16))
+
+        def tot(es):
+            return sum(e.ref_range.length for e in es)
+
+        assert abs(tot(small) - tot(full)) < n * 0.01
+
+    def test_cap_stops_retries(self):
+        rng = np.random.default_rng(9)
+        n = 20000
+        ref = rng.integers(0, 4, size=n).astype(np.int8)
+        q = ref.copy()
+        # cap below need: must still return (possibly truncated), not loop
+        cfg = AlignConfig(max_seeds=1 << 6, max_seeds_cap=1 << 7)
+        entries = align_pair(ref, q, "R.c", "Q.c", cfg)
+        assert entries
