@@ -19,29 +19,46 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from paramugsy_tpu.ops.chaining import cluster_seeds
-from paramugsy_tpu.ops.seeding import find_seeds
+from paramugsy_tpu.ops.seeding import find_seeds_both, revcomp_on_device
 
 
-def _pair_step(ref_codes, query_codes, *, k, max_seeds, max_clusters):
-    """Single-pair device work: seeds -> clusters (no host round trip)."""
-    seeds = find_seeds(ref_codes, query_codes, k=k, max_seeds=max_seeds)
-    cl = cluster_seeds(
-        seeds.rpos,
-        seeds.qpos,
-        seeds.length,
-        seeds.mask & (seeds.length >= 20),
-        max_clusters=max_clusters,
+def _pair_step(
+    ref_codes, query_codes, q_len, *, k, max_seeds, max_clusters, min_match=20
+):
+    """Single-pair device work: both-strand seeds -> per-strand clusters
+    (no host round trip; same compute as the single-chip fused path).
+
+    ``q_len`` is the pair's unpadded query length (rows may be N-padded to
+    the batch width).  Output arrays carry a leading strand axis [2, ...]
+    (0 = forward, 1 = reverse).
+    """
+    qrc = revcomp_on_device(query_codes, q_len)
+    seeds = find_seeds_both(
+        ref_codes, query_codes, qrc, k=k, max_seeds=max_seeds
     )
-    return {
-        "c_rstart": cl.c_rstart,
-        "c_rend": cl.c_rend,
-        "c_qstart": cl.c_qstart,
-        "c_qend": cl.c_qend,
-        "c_weight": cl.c_weight,
-        "c_mask": cl.c_mask,
-        "n_clusters": cl.n_clusters,
-        "n_seeds": seeds.n_runs,
-    }
+    base_keep = seeds.mask & (seeds.length >= min_match)
+    per_strand = []
+    for reverse in (False, True):
+        cl = cluster_seeds(
+            seeds.rpos,
+            seeds.qpos,
+            seeds.length,
+            base_keep & (seeds.reverse == reverse),
+            max_clusters=max_clusters,
+        )
+        per_strand.append(
+            {
+                "c_rstart": cl.c_rstart,
+                "c_rend": cl.c_rend,
+                "c_qstart": cl.c_qstart,
+                "c_qend": cl.c_qend,
+                "c_weight": cl.c_weight,
+                "c_mask": cl.c_mask,
+                "n_clusters": cl.n_clusters,
+                "n_seeds": seeds.n_runs,
+            }
+        )
+    return jax.tree.map(lambda a, b: jnp.stack([a, b]), *per_strand)
 
 
 def make_sharded_pair_step(
@@ -57,8 +74,8 @@ def make_sharded_pair_step(
         _pair_step, k=k, max_seeds=max_seeds, max_clusters=max_clusters
     )
 
-    def shard_fn(ref_batch, query_batch):
-        out = jax.vmap(step)(ref_batch, query_batch)
+    def shard_fn(ref_batch, query_batch, qlen_batch):
+        out = jax.vmap(step)(ref_batch, query_batch, qlen_batch)
         # Merge across the pairs axis so every device holds all summaries.
         return jax.tree.map(
             lambda x: lax.all_gather(x, "pairs", axis=0, tiled=True), out
@@ -67,11 +84,20 @@ def make_sharded_pair_step(
     mapped = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("pairs"), P("pairs")),
+        in_specs=(P("pairs"), P("pairs"), P("pairs")),
         out_specs=P(),
         check_vma=False,
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+
+    def call(ref_batch, query_batch, qlen_batch=None):
+        if qlen_batch is None:
+            qlen_batch = jnp.full(
+                (query_batch.shape[0],), query_batch.shape[1], jnp.int32
+            )
+        return jitted(ref_batch, query_batch, qlen_batch)
+
+    return call
 
 
 def make_sharded_distance_step(mesh: Mesh):
