@@ -270,7 +270,9 @@ def align_pair(
     n_q = len(query_np)
 
     if max(len(ref_np), n_q) > cfg.window:
-        return _align_pair_windowed(ref_np, query_np, ref_name, query_name, cfg)
+        return _align_pair_windowed(
+            ref_np, query_np, ref_name, query_name, cfg, device_cache
+        )
 
     # Pad to power-of-two buckets: one compiled kernel per bucket pair
     # instead of one per genome length. Padding is N (code 4) whose k-mer
@@ -322,6 +324,7 @@ def _align_pair_windowed(
     ref_name: str,
     query_name: str,
     cfg: AlignConfig,
+    device_cache: dict | None = None,
 ) -> list[DeltaEntry]:
     """Sequence-axis decomposition for contigs beyond the seeding window.
 
@@ -336,11 +339,16 @@ def _align_pair_windowed(
     # Inner calls never recurse and never post-filter (global filters need
     # the full entry set).
     sub = dataclasses.replace(cfg, window=1 << 62, post_filter=None)
+    # Window slices are keyed by their offset so each uploads once even
+    # though it participates in many window pairs.
+    cache = device_cache if device_cache is not None else {}
     entries: list[DeltaEntry] = []
     for rw0, rw1, rc0, rc1 in _windows(n_r, cfg):
         for qw0, qw1, qc0, qc1 in _windows(n_q, cfg):
             for e in align_pair(
-                ref_np[rw0:rw1], query_np[qw0:qw1], ref_name, query_name, sub
+                ref_np[rw0:rw1], query_np[qw0:qw1],
+                f"{ref_name}@w{rw0}", f"{query_name}@w{qw0}", sub,
+                device_cache=cache,
             ):
                 rm = rw0 + (e.ref_range.abs().start + e.ref_range.abs().end) // 2
                 qm = qw0 + (e.query_range.abs().start + e.query_range.abs().end) // 2
@@ -350,6 +358,8 @@ def _align_pair_windowed(
                 entries.append(
                     dataclasses.replace(
                         e,
+                        ref_name=ref_name,
+                        query_name=query_name,
                         ref_len=n_r,
                         query_len=n_q,
                         ref_range=Range(
@@ -450,6 +460,7 @@ def _align_self_windowed(
     n = len(ref_np)
     sub = dataclasses.replace(cfg, window=1 << 62, post_filter=None)
     wins = _windows(n, cfg)
+    cache: dict = {}
     entries: list[DeltaEntry] = []
     for i, (rw0, rw1, rc0, rc1) in enumerate(wins):
         for e in align_self(ref_np[rw0:rw1], name, sub):
@@ -457,16 +468,18 @@ def _align_self_windowed(
             qm = rw0 + (e.query_range.abs().start + e.query_range.abs().end) // 2
             if not (rc0 < rm <= rc1 and rc0 < qm <= rc1):
                 continue
-            entries.append(_shift_entry(e, rw0, rw0, n))
+            entries.append(_shift_entry(e, rw0, rw0, n, name))
         for qw0, qw1, qc0, qc1 in wins[i + 1 :]:
             for e in align_pair(
-                ref_np[rw0:rw1], ref_np[qw0:qw1], name, name, sub
+                ref_np[rw0:rw1], ref_np[qw0:qw1],
+                f"{name}@w{rw0}", f"{name}@w{qw0}", sub,
+                device_cache=cache,
             ):
                 rm = rw0 + (e.ref_range.abs().start + e.ref_range.abs().end) // 2
                 qm = qw0 + (e.query_range.abs().start + e.query_range.abs().end) // 2
                 if not (rc0 < rm <= rc1 and qc0 < qm <= qc1):
                     continue
-                g = _shift_entry(e, rw0, qw0, n)
+                g = _shift_entry(e, rw0, qw0, n, name)
                 r, q = g.ref_range.abs(), g.query_range.abs()
                 if (r.start, r.end) == (q.start, q.end) or r.start >= q.start:
                     continue
@@ -475,12 +488,16 @@ def _align_self_windowed(
     return entries
 
 
-def _shift_entry(e: DeltaEntry, r_off: int, q_off: int, n: int) -> DeltaEntry:
+def _shift_entry(
+    e: DeltaEntry, r_off: int, q_off: int, n: int, name: str
+) -> DeltaEntry:
     """Window-local entry -> global coordinates (same sequence length n)."""
     import dataclasses
 
     return dataclasses.replace(
         e,
+        ref_name=name,
+        query_name=name,
         ref_len=n,
         query_len=n,
         ref_range=Range(e.ref_range.start + r_off, e.ref_range.end + r_off),
