@@ -24,7 +24,7 @@ from paramugsy_tpu.ops.extend import Scoring, align_segments
 
 @dataclass
 class AlignConfig:
-    k: int = 16
+    k: int = 15  # canonical-kmer packed-key seeding wants k <= 15
     min_match: int = 20  # nucmer -l
     max_gap: int = 90  # nucmer -g
     band: int = 16
@@ -65,8 +65,8 @@ def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
 
     One fused device dispatch + ONE device->host transfer: on a tunneled
     chip every fetch costs tens of ms of latency, so seeding and both
-    strand clusterings return as a single packed buffer.  The revcomp
-    query stream is derived on device from ``q_codes``.
+    strand clusterings return as a single packed buffer.  Both strands
+    ride one canonical-k-mer join (no revcomp stream at all).
     """
     from paramugsy_tpu.ops.seeding import (
         seed_cluster_both_packed,
@@ -171,46 +171,76 @@ def _entries_of_chain(
     n_q: int,
     cfg: AlignConfig,
 ) -> list[DeltaEntry]:
-    """Assemble delta entries from a chain, aligning inter-anchor gaps."""
-    seeds = chain.seeds
-    # Split chain where gaps exceed break_len.
-    parts: list[list[int]] = [[0]]
-    for i in range(1, len(seeds)):
-        pr = seeds[i - 1][0] + seeds[i - 1][2] - 1
-        pq = seeds[i - 1][1] + seeds[i - 1][2] - 1
-        gap_r = seeds[i][0] - pr - 1
-        gap_q = seeds[i][1] - pq - 1
-        if max(gap_r, gap_q) > cfg.break_len:
-            parts.append([i])
-        else:
-            parts[-1].append(i)
+    """Assemble delta entries from a chain, aligning inter-anchor gaps.
 
-    # Collect all inter-seed segments for batched alignment.
-    seg_reqs: list[tuple[np.ndarray, np.ndarray]] = []
-    seg_map: dict[tuple[int, int], int] = {}
-    for pi, part in enumerate(parts):
-        for i in range(1, len(part)):
-            a, b = seeds[part[i - 1]], seeds[part[i]]
-            r0, q0 = a[0] + a[2], a[1] + a[2]
-            seg_map[(pi, i)] = len(seg_reqs)
-            seg_reqs.append((ref_np[r0 : b[0]], query_np[q0 : b[1]]))
+    Fully vectorized over seeds (chains carry tens of thousands of
+    anchors for a bacterial-scale pair, so per-seed Python loops were
+    the pipeline's hottest host phase).
+    """
+    seeds = chain.seeds
+    n = len(seeds)
+    rp, qp, ln = seeds[:, 0], seeds[:, 1], seeds[:, 2]
+    rend, qend = rp + ln - 1, qp + ln - 1
+    # Split chain where inter-seed gaps exceed break_len: brk[i] = True
+    # means a new part starts at seed i+1.
+    if n > 1:
+        gap_r = rp[1:] - rend[:-1] - 1
+        gap_q = qp[1:] - qend[:-1] - 1
+        brk = np.maximum(gap_r, gap_q) > cfg.break_len
+    else:
+        brk = np.zeros(0, dtype=bool)
+    starts = np.concatenate(([0], np.flatnonzero(brk) + 1))  # part = [start, next)
+    ends = np.concatenate((starts[1:], [n]))
+
+    # Segments (inter-seed gaps inside a part): seed index i has a segment
+    # against seed i-1 iff no break there.  Batched alignment in seg order.
+    seg_idx = np.flatnonzero(~brk) + 1
+    r0s = (rend[seg_idx - 1] + 1).tolist()
+    q0s = (qend[seg_idx - 1] + 1).tolist()
+    r1s = rp[seg_idx].tolist()
+    q1s = qp[seg_idx].tolist()
+    seg_reqs = [
+        (ref_np[a:b], query_np[c:d]) for a, b, c, d in zip(r0s, r1s, q0s, q1s)
+    ]
     seg_results = align_segments(seg_reqs, cfg.scoring)
+    n_segs = len(seg_results)
+    ncols = np.fromiter(
+        (r[2] for r in seg_results), dtype=np.int64, count=n_segs
+    )
+
+    # Column offset before each segment = seed lengths + segment columns
+    # emitted so far within its part (prefix sums reset at part starts).
+    cln = np.concatenate(([0], np.cumsum(ln)))  # cln[i] = sum(ln[:i])
+    cnc = np.concatenate(([0], np.cumsum(ncols)))
+    t0 = np.searchsorted(seg_idx, starts, side="left")  # first seg of each part
+    pid = np.searchsorted(starts, seg_idx, side="right") - 1
+    col_before = (cln[seg_idx] - cln[starts[pid]]) + (
+        cnc[np.arange(n_segs)] - cnc[t0[pid]]
+    )
+
+    # Gap runs per part, offset into part-column space.  Only segments
+    # that produced gaps are touched.
+    n_parts = len(starts)
+    part_rgaps: list[list[Range]] = [[] for _ in range(n_parts)]
+    part_qgaps: list[list[Range]] = [[] for _ in range(n_parts)]
+    cb = col_before.tolist()
+    pids = pid.tolist()
+    for t, (rg, qg, _) in enumerate(seg_results):
+        if not (rg or qg):
+            continue
+        col = cb[t]
+        p = pids[t]
+        part_rgaps[p].extend(Range(g.start + col, g.end + col) for g in rg)
+        part_qgaps[p].extend(Range(g.start + col, g.end + col) for g in qg)
 
     entries: list[DeltaEntry] = []
-    for pi, part in enumerate(parts):
-        first, last = seeds[part[0]], seeds[part[-1]]
-        ref_gaps: list[Range] = []
-        query_gaps: list[Range] = []
-        col = 0  # columns emitted so far
-        for i, si in enumerate(part):
-            if i > 0:
-                rg, qg, n = seg_results[seg_map[(pi, i)]]
-                ref_gaps.extend(Range(g.start + col, g.end + col) for g in rg)
-                query_gaps.extend(Range(g.start + col, g.end + col) for g in qg)
-                col += n
-            col += int(seeds[si][2])
-        rs, re_ = int(first[0]), int(last[0] + last[2] - 1)
-        qs, qe = int(first[1]), int(last[1] + last[2] - 1)
+    firsts, lasts = starts.tolist(), (ends - 1).tolist()
+    rp_l, qp_l = rp.tolist(), qp.tolist()
+    rend_l, qend_l = rend.tolist(), qend.tolist()
+    for p in range(n_parts):
+        f, l = firsts[p], lasts[p]
+        rs, re_ = rp_l[f], rend_l[l]
+        qs, qe = qp_l[f], qend_l[l]
         if chain.reverse:
             # strand-local rc coords -> forward 1-indexed, reversed range
             q_range = Range(n_q - qs, n_q - qe)
@@ -224,8 +254,8 @@ def _entries_of_chain(
                 query_len=n_q,
                 ref_range=Range(rs + 1, re_ + 1),
                 query_range=q_range,
-                ref_gaps=ref_gaps,
-                query_gaps=query_gaps,
+                ref_gaps=part_rgaps[p],
+                query_gaps=part_qgaps[p],
             )
         )
     return entries
@@ -243,14 +273,14 @@ def device_codes(
     into N (the per-pair transfer is the dominant cost on a tunneled
     chip).
     """
-    from paramugsy_tpu.ops.encode import bucket_size, pad_to
+    from paramugsy_tpu.ops.encode import bucket_size, device_codes_packed
 
     if cache is None or key is None:
-        return jnp.asarray(pad_to(np_codes, bucket_size(len(np_codes))))
+        return device_codes_packed(np_codes, bucket_size(len(np_codes)))
     k = (key, len(np_codes))
     hit = cache.get(k)
     if hit is None:
-        hit = jnp.asarray(pad_to(np_codes, bucket_size(len(np_codes))))
+        hit = device_codes_packed(np_codes, bucket_size(len(np_codes)))
         cache[k] = hit
     return hit
 

@@ -59,6 +59,67 @@ def bucket_size(n: int, minimum: int = 1 << 12) -> int:
     return size
 
 
+def pack2_np(codes: np.ndarray, size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pack int8 codes into 2 bits each for the host->device transfer.
+
+    Non-ACGT codes (4) are packed as 0 and reported separately as a sparse
+    position list so the device can restore them; the transfer shrinks 4x,
+    which matters on a tunneled chip where H2D bandwidth dominates upload.
+    Returns (packed uint8 [size//4], n_positions int32 [num_N]).
+    """
+    n = len(codes)
+    if n > size:
+        raise ValueError(f"sequence length {n} exceeds bucket {size}")
+    buf = np.zeros(size, dtype=np.uint8)
+    buf[:n] = np.where(codes < 4, codes, 0).astype(np.uint8)
+    b = buf.reshape(-1, 4)
+    packed = (b[:, 0] | (b[:, 1] << 2) | (b[:, 2] << 4) | (b[:, 3] << 6)).astype(
+        np.uint8
+    )
+    n_pos = np.flatnonzero(np.asarray(codes) >= 4).astype(np.int32)
+    return packed, n_pos
+
+
+def _unpack_core(packed, n_eff, total):
+    shifts = jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2)
+    x = ((packed[:, None] >> shifts[None, :]) & jnp.uint8(3)).astype(jnp.int8)
+    x = x.reshape(total)
+    i = jnp.arange(total, dtype=jnp.int32)
+    return jnp.where(i < n_eff, x, jnp.int8(4))
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(2,))
+def _unpack2(packed, n_eff, total):
+    return _unpack_core(packed, n_eff, total)
+
+
+@_partial(jax.jit, static_argnums=(2,))
+def _unpack2_n(packed, n_eff, total, n_positions):
+    # n_positions is padded with `total` (out of range) -> dropped.
+    x = _unpack_core(packed, n_eff, total)
+    return x.at[n_positions].set(jnp.int8(4), mode="drop")
+
+
+def device_codes_packed(np_codes: np.ndarray, total: int):
+    """Upload codes as a 2-bit packed buffer; unpack to int8 on device.
+
+    Equivalent to ``jnp.asarray(pad_to(np_codes, total))`` with a 4x
+    smaller transfer.
+    """
+    packed, n_pos = pack2_np(np_codes, total)
+    if n_pos.size:
+        m = 1 << max(4, int(n_pos.size - 1).bit_length())
+        pad = np.full(m, total, dtype=np.int32)
+        pad[: n_pos.size] = n_pos
+        return _unpack2_n(
+            jnp.asarray(packed), jnp.int32(len(np_codes)), total, jnp.asarray(pad)
+        )
+    return _unpack2(jnp.asarray(packed), jnp.int32(len(np_codes)), total)
+
+
 def kmer_codes(codes, k: int):
     """Packed 2-bit k-mer codes and validity at every window start.
 
@@ -80,3 +141,34 @@ def kmer_codes(codes, k: int):
     idx = jnp.arange(n)
     valid = (idx <= n - k) & (badc == 0)
     return jnp.where(valid, acc, 0), valid
+
+
+def kmer_canonical(codes, k: int):
+    """Canonical k-mer codes: min(forward, revcomp) per window.
+
+    Returns (canon[uint32, N], strand[bool, N], valid[bool, N]) where
+    strand is True when the revcomp form is the canonical one.  Joining
+    canonical streams lets both-strand matching share ONE sorted array
+    (a forward match has equal strand bits on both sides, a reverse match
+    opposite bits) — a third fewer elements through the sort network than
+    separate fwd + revcomp query streams.  k <= 15 keeps the code in 30
+    bits so callers can pack a validity flag alongside it.
+    """
+    if not 1 <= k <= 16:
+        raise ValueError("k must be in [1, 16]")
+    n = codes.shape[0]
+    base = jnp.where(codes < 4, codes, 0).astype(jnp.uint32)
+    bad = (codes >= 4).astype(jnp.int32)
+    fwd = jnp.zeros(n, dtype=jnp.uint32)
+    rc = jnp.zeros(n, dtype=jnp.uint32)
+    badc = jnp.zeros(n, dtype=jnp.int32)
+    for j in range(k):
+        b = jnp.roll(base, -j)
+        fwd = (fwd << jnp.uint32(2)) | b
+        rc = rc | ((jnp.uint32(3) - b) << jnp.uint32(2 * j))
+        badc = badc + jnp.roll(bad, -j)
+    idx = jnp.arange(n)
+    valid = (idx <= n - k) & (badc == 0)
+    strand = rc < fwd
+    canon = jnp.where(valid, jnp.minimum(fwd, rc), 0)
+    return canon, strand, valid

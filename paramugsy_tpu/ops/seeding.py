@@ -191,17 +191,21 @@ class SeedMatches2(NamedTuple):
 def find_seeds_both(
     ref_codes,
     query_codes,
-    query_rc_codes,
+    q_len,
     *,
-    k: int = 16,
+    k: int = 15,
     max_seeds: int = 1 << 16,
     unique_in_query: bool = False,
 ) -> SeedMatches2:
-    """Both-strand variant of `find_seeds` with a single big sort.
+    """Both-strand variant of `find_seeds` via one canonical-k-mer join.
 
-    The forward and reverse-complement query k-mer streams join the ref
-    stream in one sorted array (owner tags 0/1/2), so ref uniqueness is
-    counted once and the dominant sort cost is paid once instead of twice.
+    Each window contributes its canonical code min(fwd, revcomp) plus a
+    strand bit, so ONE sorted array of n_ref + n_query elements covers
+    both orientations (a forward match has equal strand bits, a reverse
+    match opposite bits) — a third less sort traffic than separate
+    fwd + revcomp query streams, and no revcomp stream materialized at
+    all.  For k <= 15 the canonical code fits 30 bits and sort #1 runs
+    with a single packed 32-bit key.
 
     Gather-free segment reductions: segment-boundary values of the
     (nondecreasing) count cumsums are extracted with prefix-max /
@@ -210,37 +214,55 @@ def find_seeds_both(
     compaction are bit-packed (flag | owner | 24-bit value), which bounds
     per-sequence bucket sizes to 2^23 — far above bacterial genomes; long
     eukaryotic contigs should be windowed by the caller.
+
+    Uniqueness is canonical: a k-mer whose reverse complement also occurs
+    in the reference is not ref-unique (nucmer counts forward text only;
+    the canonical rule is conservative at inverted repeats, which unique-
+    match seeding should not anchor anyway).
     """
-    rk, rvalid = kmer_codes(ref_codes, k)
-    qk, qvalid = kmer_codes(query_codes, k)
-    qrk, qrvalid = kmer_codes(query_rc_codes, k)
-    n_r, n_q, n_qr = rk.shape[0], qk.shape[0], qrk.shape[0]
-    n = n_r + n_q + n_qr
+    from paramugsy_tpu.ops.encode import kmer_canonical
+
+    rk, rstrand, rvalid = kmer_canonical(ref_codes, k)
+    qk, qstrand, qvalid = kmer_canonical(query_codes, k)
+    n_r, n_q = rk.shape[0], qk.shape[0]
+    n = n_r + n_q
     if max(n_r, n_q) >= 1 << 23:
         raise ValueError("sequence bucket exceeds 2^23; window the input")
 
-    codes = jnp.concatenate([rk, qk, qrk])
-    invalid = jnp.concatenate([~rvalid, ~qvalid, ~qrvalid]).astype(jnp.uint8)
-    # owner|pos packed into one int32 (2 + 23 bits) so sort #1 moves one
-    # operand less; packing also makes (code, packed) ordering place the
-    # ref entry (owner 0) first within each segment.
+    # owner|strand|pos packed into one int32 (1 + 1 + 23 bits); owner in
+    # the top bit makes the ref entry sort first within each segment.
+    M23 = (1 << 23) - 1
     packed = jnp.concatenate(
         [
-            jnp.arange(n_r, dtype=jnp.int32),
-            (1 << 23) | jnp.arange(n_q, dtype=jnp.int32),
-            (2 << 23) | jnp.arange(n_qr, dtype=jnp.int32),
+            (rstrand.astype(jnp.int32) << 23) | jnp.arange(n_r, dtype=jnp.int32),
+            (1 << 24)
+            | (qstrand.astype(jnp.int32) << 23)
+            | jnp.arange(n_q, dtype=jnp.int32),
         ]
     )
+    invalid_b = jnp.concatenate([~rvalid, ~qvalid])
 
-    # Sort #1: (validity, code, owner+pos).
-    invalid, codes, packed = lax.sort((invalid, codes, packed), num_keys=3)
-    valid = invalid == 0
-    owner = packed >> jnp.int32(23)
-    pos = packed & ((1 << 23) - 1)
+    if k <= 15:
+        # Sort #1: single u32 key (invalid | canon), one payload.
+        key1 = jnp.concatenate([rk, qk]) | (
+            invalid_b.astype(jnp.uint32) << jnp.uint32(30)
+        )
+        key1, packed = lax.sort((key1, packed), num_keys=1)
+        valid = key1 < (1 << 30)
+        same_code = key1 == jnp.roll(key1, 1)
+    else:
+        codes = jnp.concatenate([rk, qk])
+        invalid = invalid_b.astype(jnp.uint8)
+        invalid, codes, packed = lax.sort((invalid, codes, packed), num_keys=3)
+        valid = invalid == 0
+        same_code = codes == jnp.roll(codes, 1)
+
+    owner = packed >> jnp.int32(24)
+    strand = (packed >> jnp.int32(23)) & 1
+    pos = packed & M23
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    prev_code = jnp.roll(codes, 1)
-    is_start = valid & ((codes != prev_code) | (idx == 0))
+    is_start = valid & (~same_code | (idx == 0))
     nxt_invalid = jnp.concatenate([~valid[1:], jnp.array([True])])
     nxt_start = jnp.concatenate([is_start[1:], jnp.array([True])])
     is_end = valid & (nxt_start | nxt_invalid)
@@ -248,7 +270,6 @@ def find_seeds_both(
     ref_in = (owner == 0) & valid
     query_in = (owner > 0) & valid
     cum_ref = jnp.cumsum(ref_in.astype(jnp.int32))
-    cum_query = jnp.cumsum(query_in.astype(jnp.int32))
 
     def seg_count(cum, contrib):
         """Per-element count of `contrib` within its segment, gather-free.
@@ -265,46 +286,59 @@ def find_seeds_both(
 
     ref_count = seg_count(cum_ref, ref_in)
 
-    # The unique ref position: ref entries sort first within a segment, so
+    # The unique ref entry: ref entries sort first within a segment, so
     # the most recent ref element at-or-before any query element in the
-    # same segment is the segment's ref (one gather).
+    # same segment is the segment's ref (one gather, packed: position and
+    # strand together).
     seg_start_idx = _prefix_max(jnp.where(is_start, idx, -1))
     last_ref_idx = _prefix_max(jnp.where(ref_in, idx, -1))
-    rpos = pos[jnp.maximum(last_ref_idx, 0)]
+    ref_packed = packed[jnp.maximum(last_ref_idx, 0)]
+    rpos = ref_packed & M23
+    r_strand = (ref_packed >> jnp.int32(23)) & 1
 
     is_match = valid & query_in & (ref_count == 1) & (last_ref_idx >= seg_start_idx)
     if unique_in_query:
-        # counts both orientations: a k-mer repeated across strands is
-        # not query-unique (conservative for palindromic repeats)
+        # canonical counting: a k-mer repeated across strands is not
+        # query-unique (conservative for palindromic repeats)
+        cum_query = jnp.cumsum(query_in.astype(jnp.int32))
         query_count = seg_count(cum_query, query_in)
         is_match = is_match & (query_count == 1)
 
     n_raw = jnp.sum(is_match.astype(jnp.int32))
 
-    # Sort #2: one packed key (match flag | owner | diag+offset), then rpos.
+    # Strand-local query position: reverse matches (opposite strand bits)
+    # anchor in revcomp coordinates, where consecutive window pairs again
+    # advance both positions by +1.
+    rev = strand != r_strand
+    qpos_local = jnp.where(rev, q_len - pos - k, pos)
+    owner2 = 1 + rev.astype(jnp.int32)  # 1 = forward, 2 = reverse
+
+    # Sort #2: packed key (match flag | owner | diag+offset) then rpos.
+    # Within one diagonal rpos order IS qpos order, so qpos is derived
+    # arithmetically instead of carried as a third operand.
     OFF = 1 << 23
-    diag = rpos - pos + OFF  # in [0, 2^24)
+    diag = rpos - qpos_local + OFF  # in [0, 2^24)
     # Non-matches collapse to the sentinel: their diag/owner fields hold
     # garbage (segments without a ref) that must not leak into key bits.
     key2 = jnp.where(
-        is_match, (owner << jnp.int32(24)) | diag, jnp.int32(1 << 30)
+        is_match, (owner2 << jnp.int32(24)) | diag, jnp.int32(1 << 30)
     ).astype(jnp.int32)
-    key2, rpos_c, qpos_c = lax.sort((key2, rpos, pos), num_keys=2)
+    key2, rpos_c = lax.sort((key2, rpos), num_keys=2)
     mask_c = key2 < (1 << 30)
     owner_c = (key2 >> jnp.int32(24)) & 3
-    diag_c = key2 & (OFF * 2 - 1)
+    qpos_c = rpos_c - (key2 & (OFF * 2 - 1)) + OFF  # garbage when masked
     cidx = idx
 
     prev_mask = jnp.roll(mask_c, 1).at[0].set(False)
     run_start = mask_c & (
         ~prev_mask
         | (key2 != jnp.roll(key2, 1))  # owner or diag change
-        | (qpos_c != jnp.roll(qpos_c, 1) + 1)
+        | (rpos_c != jnp.roll(rpos_c, 1) + 1)
     )
     next_continues = (
         jnp.roll(mask_c, -1)
         & (jnp.roll(key2, -1) == key2)
-        & (jnp.roll(qpos_c, -1) == qpos_c + 1)
+        & (jnp.roll(rpos_c, -1) == rpos_c + 1)
     )
     is_run_end = mask_c & ((cidx == n - 1) | ~next_continues)
     run_start_idx = _prefix_max(jnp.where(run_start, cidx, -1))
@@ -362,7 +396,7 @@ def seed_cluster_both_packed(
     query_rc_codes=None,
     q_len=None,
     *,
-    k: int = 16,
+    k: int = 15,
     max_seeds: int = 1 << 16,
     unique_in_query: bool = False,
     min_match: int = 20,
@@ -390,13 +424,9 @@ def seed_cluster_both_packed(
     """
     from paramugsy_tpu.ops.chaining import cluster_seeds
 
-    if query_rc_codes is None:
-        # Compute the revcomp stream on device: saves a third of the
-        # host->device traffic (the dominant per-pair cost on a tunneled
-        # chip) and the host-side flip.
-        query_rc_codes = revcomp_on_device(query_codes, q_len)
+    del query_rc_codes  # canonical join needs no revcomp stream
     seeds = find_seeds_both(
-        ref_codes, query_codes, query_rc_codes,
+        ref_codes, query_codes, q_len,
         k=k, max_seeds=max_seeds, unique_in_query=unique_in_query,
     )
     base_keep = seeds.mask & (seeds.length >= min_match)

@@ -19,7 +19,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from paramugsy_tpu.ops.chaining import cluster_seeds
-from paramugsy_tpu.ops.seeding import find_seeds_both, revcomp_on_device
+from paramugsy_tpu.ops.seeding import find_seeds_both
 
 
 def _pair_step(
@@ -32,9 +32,8 @@ def _pair_step(
     the batch width).  Output arrays carry a leading strand axis [2, ...]
     (0 = forward, 1 = reverse).
     """
-    qrc = revcomp_on_device(query_codes, q_len)
     seeds = find_seeds_both(
-        ref_codes, query_codes, qrc, k=k, max_seeds=max_seeds
+        ref_codes, query_codes, q_len, k=k, max_seeds=max_seeds
     )
     base_keep = seeds.mask & (seeds.length >= min_match)
     per_strand = []
@@ -62,7 +61,7 @@ def _pair_step(
 
 
 def make_sharded_pair_step(
-    mesh: Mesh, *, k: int = 16, max_seeds: int = 1 << 14, max_clusters: int = 1024
+    mesh: Mesh, *, k: int = 15, max_seeds: int = 1 << 14, max_clusters: int = 1024
 ):
     """Build a jitted step: pair batch [P, N] x2 -> gathered cluster stats.
 
