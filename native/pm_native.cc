@@ -136,7 +136,79 @@ int pm_nw_align_batch(const int8_t* a, const int32_t* a_len,
   return overflow ? -1 : 0;
 }
 
-int pm_version() { return 1; }
+int pm_version() { return 2; }
+
+// Traceback over the TPU wavefront kernel's packed direction buffer.
+//   dirs:   [steps4, batch, width] uint8; step d (1-based) of pair p lane w
+//           is bits 2*((d-1)%4) of dirs[(d-1)/4][p][w].
+//   a_len/b_len: [n_pairs] segment lengths (n_pairs <= batch).
+//   out_cols:  [n_pairs] alignment column counts
+//   out_runs:  [n_pairs, max_runs, 3] (side, start, end); side 0 = ref gap
+//              (LEFT columns), 1 = query gap (UP columns); 1-indexed.
+//   out_nruns: [n_pairs]
+// Returns 0, or -1 if any pair overflowed max_runs.
+int pm_wavefront_traceback(const uint8_t* dirs, int32_t steps4, int32_t batch,
+                           int32_t width, const int32_t* a_len,
+                           const int32_t* b_len, int32_t n_pairs,
+                           int32_t* out_cols, int32_t* out_runs,
+                           int32_t* out_nruns, int32_t max_runs) {
+  const int32_t half = width / 2;
+  int overflow = 0;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+  for (int32_t p = 0; p < n_pairs; ++p) {
+    int32_t i = a_len[p], j = b_len[p];
+    std::vector<uint8_t> cols;
+    cols.reserve(i + j);
+    while (i > 0 || j > 0) {
+      uint8_t d;
+      if (i == 0) {
+        d = LEFT;
+      } else if (j == 0) {
+        d = UP;
+      } else {
+        int32_t w = j - i + half;
+        if (w <= 0) {
+          d = UP;
+        } else if (w >= width - 1) {
+          d = LEFT;
+        } else {
+          int32_t s = i + j - 1;  // 0-based step index
+          uint8_t byte =
+              dirs[((size_t)(s >> 2) * batch + p) * width + w];
+          d = (byte >> (2 * (s & 3))) & 3;
+        }
+      }
+      cols.push_back(d);
+      if (d == DIAG) { --i; --j; }
+      else if (d == UP) { --i; }
+      else { --j; }
+    }
+    std::reverse(cols.begin(), cols.end());
+    int32_t n = (int32_t)cols.size();
+    int32_t nr = 0, start = -1;
+    uint8_t kind = DIAG;
+    int32_t* runs = out_runs + (size_t)p * max_runs * 3;
+    for (int32_t c = 0; c <= n; ++c) {
+      uint8_t k = (c < n) ? cols[c] : DIAG;
+      if (k != kind) {
+        if (kind != DIAG && nr < max_runs) {
+          runs[nr * 3 + 0] = (kind == LEFT) ? 0 : 1;
+          runs[nr * 3 + 1] = start + 1;
+          runs[nr * 3 + 2] = c;
+          ++nr;
+        }
+        if (k != DIAG) start = c;
+        kind = k;
+      }
+    }
+    out_cols[p] = n;
+    out_nruns[p] = nr;
+    if (nr >= max_runs) overflow = 1;
+  }
+  return overflow ? -1 : 0;
+}
 
 }  // extern "C"
 

@@ -535,30 +535,49 @@ def _shift_entry(
     )
 
 
+def _wis_filter(es: list[DeltaEntry], key) -> list[DeltaEntry]:
+    """Optimal weighted interval scheduling on one axis, O(n log n).
+
+    Maximizes total `key(e).length` over a non-overlapping subset — the
+    exact optimum the reference's ``delta-filter -1`` computes per axis
+    (lib/nucmer/mugsy_nucmer.ml:102-105), replacing round 1's
+    heaviest-first greedy approximation.
+    """
+    from bisect import bisect_left
+
+    if not es:
+        return es
+    order = sorted(range(len(es)), key=lambda i: key(es[i]).abs().end)
+    starts = [key(es[i]).abs().start for i in order]
+    ends = [key(es[i]).abs().end for i in order]
+    weights = [key(es[i]).length for i in order]
+    n = len(order)
+    # dp[t] = best weight among the first t intervals (by end).
+    dp = [0] * (n + 1)
+    pred = [0] * n
+    for t in range(n):
+        p = bisect_left(ends, starts[t])  # ends[0..p-1] < starts[t]
+        pred[t] = p
+        dp[t + 1] = max(dp[t], weights[t] + dp[p])
+    chosen: list[int] = []
+    t = n - 1
+    while t >= 0:
+        if dp[t + 1] == dp[t]:
+            t -= 1
+        else:
+            chosen.append(order[t])
+            t = pred[t] - 1
+    chosen.sort()
+    return [es[i] for i in chosen]
+
+
 def filter_one_to_one(entries: list[DeltaEntry]) -> list[DeltaEntry]:
     """delta-filter -1 role: keep a consistent 1-to-1 set of alignments.
 
-    Weighted interval scheduling on the ref axis, then the query axis —
-    alignments surviving both are the 1-to-1 map (an LIS-flavored
-    approximation of MUMmer's delta-filter).
-    """
-
-    def lis_filter(es: list[DeltaEntry], key) -> list[DeltaEntry]:
-        if not es:
-            return es
-        # Greedy by weight: keep non-overlapping intervals, heaviest first.
-        by_weight = sorted(
-            range(len(es)), key=lambda i: -key(es[i]).length
-        )
-        chosen: list[tuple[int, int, int]] = []
-        for i in by_weight:
-            r = key(es[i]).abs()
-            if all(r.end < s or r.start > e for s, e, _ in chosen):
-                chosen.append((r.start, r.end, i))
-        return [es[i] for _, _, i in sorted(chosen)]
-
-    es = lis_filter(entries, lambda e: e.ref_range)
-    es = lis_filter(es, lambda e: e.query_range)
+    Exact weighted interval scheduling on the ref axis, then the query
+    axis — alignments surviving both form the 1-to-1 map."""
+    es = _wis_filter(entries, lambda e: e.ref_range)
+    es = _wis_filter(es, lambda e: e.query_range)
     return sorted(es, key=lambda e: e.ref_range.abs().start)
 
 

@@ -169,16 +169,14 @@ def align_segments(
         b[lane[bucket][None, :] < b_len[:, None]] = np.concatenate(
             [segs[i][1] for i in idxs]
         )
-        nat = None
-        try:
-            from paramugsy_tpu.ops.native import nw_align_batch_native
+        from paramugsy_tpu.ops import engines
+        from paramugsy_tpu.ops.native import nw_align_batch_native
 
-            nat = nw_align_batch_native(
-                a, a_len, b, b_len, scoring.match, scoring.mismatch, scoring.gap
-            )
-        except Exception:
-            nat = None
+        nat = nw_align_batch_native(
+            a, a_len, b, b_len, scoring.match, scoring.mismatch, scoring.gap
+        )
         if nat is not None:
+            engines.record("native-nw", B)
             cols, nruns, runs = nat
             for bi, i in enumerate(idxs):
                 rr = runs[bi, : nruns[bi]]
@@ -186,15 +184,34 @@ def align_segments(
                 query_runs = [Range(int(s), int(e)) for side, s, e in rr if side == 1]
                 results[i] = (ref_runs, query_runs, int(cols[bi]))
         else:
+            engines.record("numpy-nw", B)
             dirs, _ = nw_align_batch(a, a_len, b, b_len, scoring)
             for bi, i in enumerate(idxs):
                 results[i] = traceback_gaps(dirs[bi], int(a_len[bi]), int(b_len[bi]))
-    # Long segments route to the banded engines (Pallas on device, banded
-    # NumPy on host).
-    for i, r in enumerate(results):
-        if r is None:
-            a, b = segs[i]
-            results[i] = align_long_segment(np.asarray(a), np.asarray(b), scoring)
+    # Long segments route to the banded engines: batched Pallas wavefront
+    # on the device (default on TPU), host C++/NumPy otherwise.
+    long_idx = [i for i, r in enumerate(results) if r is None]
+    if long_idx:
+        from paramugsy_tpu.ops import engines
+
+        long_segs = [
+            (np.asarray(segs[i][0]), np.asarray(segs[i][1])) for i in long_idx
+        ]
+        outs = None
+        if engines.device_dp_enabled():
+            from paramugsy_tpu.ops.pallas_extend import wavefront_align_many
+
+            outs = wavefront_align_many(
+                long_segs,
+                match=scoring.match,
+                mismatch=scoring.mismatch,
+                gap=scoring.gap,
+            )
+            engines.record("device-wavefront", len(long_segs))
+        if outs is None:
+            outs = [align_long_segment(a, b, scoring) for a, b in long_segs]
+        for i, o in zip(long_idx, outs):
+            results[i] = o
     return results
 
 
@@ -246,38 +263,25 @@ def banded_align_np(
 def align_long_segment(
     a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring()
 ):
-    """Route one long segment through the banded engines.
+    """Route one long segment through the host banded engines.
 
-    Preference order: native C++ banded (fastest per core today), NumPy
-    banded mirror, with the Pallas device kernel available explicitly via
-    PARAMUGSY_DEVICE_DP=1 (correct on hardware; per-row overhead makes it
-    slower than the native path on current toolchains — see
-    ops/pallas_extend.py).  Band width grows with the length difference.
+    (The device wavefront engine batches long segments in `align_segments`;
+    this single-segment path is the host side: native C++ banded first,
+    NumPy banded mirror as the last resort.  Band width grows with the
+    length difference.)
     """
-    import os
+    from paramugsy_tpu.ops import engines
+    from paramugsy_tpu.ops.native import banded_align_native
 
     width = 512
     while abs(len(a) - len(b)) >= width // 2:
         width *= 2
-    if os.environ.get("PARAMUGSY_DEVICE_DP") == "1":
-        try:
-            from paramugsy_tpu.ops.pallas_extend import banded_align
-
-            return banded_align(
-                a, b, width=width,
-                match=scoring.match, mismatch=scoring.mismatch, gap=scoring.gap,
-            )
-        except Exception:
-            pass
-    try:
-        from paramugsy_tpu.ops.native import banded_align_native
-
-        out = banded_align_native(
-            np.asarray(a), np.asarray(b), width,
-            scoring.match, scoring.mismatch, scoring.gap,
-        )
-        if out is not None:
-            return out
-    except Exception:
-        pass
+    out = banded_align_native(
+        np.asarray(a), np.asarray(b), width,
+        scoring.match, scoring.mismatch, scoring.gap,
+    )
+    if out is not None:
+        engines.record("native-banded")
+        return out
+    engines.record("numpy-banded")
     return banded_align_np(a, b, width=width, scoring=scoring)

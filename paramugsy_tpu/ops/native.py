@@ -36,9 +36,16 @@ def load() -> Optional[ctypes.CDLL]:
                 timeout=120,
             )
         except Exception:
+            import logging
+
+            logging.getLogger("paramugsy.engines").warning(
+                "native build failed; using host NumPy fallbacks", exc_info=True
+            )
             return None
     if not os.path.exists(_LIB_PATH):
         return None
+    # A library that exists but cannot load is a broken install: fail
+    # loudly instead of silently degrading to the slow path.
     lib = ctypes.CDLL(_LIB_PATH)
     lib.pm_nw_align_batch.restype = ctypes.c_int
     lib.pm_nw_align_batch.argtypes = [
@@ -142,3 +149,63 @@ def banded_align_native(
     ref_runs = [Range(int(s), int(e)) for side, s, e in rr if side == 0]
     query_runs = [Range(int(s), int(e)) for side, s, e in rr if side == 1]
     return ref_runs, query_runs, int(n)
+
+
+def wavefront_traceback_native(
+    dirs_packed: np.ndarray,
+    a_lens: np.ndarray,
+    b_lens: np.ndarray,
+    width: int,
+):
+    """Traceback of the packed wavefront dirs buffer for all pairs.
+
+    dirs_packed: [steps4, batch, width] uint8 from ops.pallas_extend.
+    Returns a list of (ref_runs, query_runs, n_columns), or None when the
+    native library is unavailable.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_wavefront_configured"):
+        lib.pm_wavefront_traceback.restype = ctypes.c_int
+        lib.pm_wavefront_traceback.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        lib._wavefront_configured = True
+    steps4, batch, w = dirs_packed.shape
+    assert w == width
+    n_pairs = len(a_lens)
+    dirs_packed = np.ascontiguousarray(dirs_packed, dtype=np.uint8)
+    a_lens = np.ascontiguousarray(a_lens, dtype=np.int32)
+    b_lens = np.ascontiguousarray(b_lens, dtype=np.int32)
+    max_runs = int(a_lens.max(initial=0) + b_lens.max(initial=0) + 2)
+    cols = np.zeros(n_pairs, dtype=np.int32)
+    runs = np.zeros((n_pairs, max_runs, 3), dtype=np.int32)
+    nruns = np.zeros(n_pairs, dtype=np.int32)
+    rc = lib.pm_wavefront_traceback(
+        _ptr(dirs_packed, ctypes.c_uint8),
+        steps4, batch, width,
+        _ptr(a_lens, ctypes.c_int32), _ptr(b_lens, ctypes.c_int32), n_pairs,
+        _ptr(cols, ctypes.c_int32), _ptr(runs, ctypes.c_int32),
+        _ptr(nruns, ctypes.c_int32), max_runs,
+    )
+    if rc != 0:
+        return None
+    from paramugsy_tpu.coords.range import Range
+
+    out = []
+    for p in range(n_pairs):
+        rr = runs[p, : nruns[p]]
+        out.append(
+            (
+                [Range(int(s), int(e)) for side, s, e in rr if side == 0],
+                [Range(int(s), int(e)) for side, s, e in rr if side == 1],
+                int(cols[p]),
+            )
+        )
+    return out

@@ -480,8 +480,23 @@ def banded_align_batch(
 # satisfies awin_{d+1}[w] = awin_d[w-1] identically (roll right, insert at
 # lane 0), and bwin rolls left inserting at lane W-1.  The price is
 # 2x the steps (a_len + b_len anti-diagonals) and half the lanes idle per
-# step (parity); the win is that every op is cheap.  Measured on v5e this
-# trades ~25-60 us/row for a few us/row-equivalent.
+# step (parity); the win is that every op is cheap.
+#
+# Three further optimizations over the round-1 kernel:
+#   * direction codes are packed 4 steps per byte (2 bits each), cutting
+#     both the VMEM output block and the device->host transfer 4x — the
+#     transfer, not the compute, bounds end-to-end throughput on a
+#     tunneled chip;
+#   * prev1/prev2 ping-pong between two scratch refs (no per-step copy);
+#   * no parity/rectangle/boundary masking at all.  Off-parity and
+#     out-of-rectangle lanes compute garbage that provably never flows
+#     into in-rectangle cells: pad codes differ per side (4 vs 5) so any
+#     out-of-sequence comparison scores `mismatch`, making garbage decay
+#     monotonically from the NEG init, while the boundary rows dp(i,0) =
+#     gap*i and dp(0,j) = gap*j emerge from the up/left chains seeded by
+#     dp(0,0) = 0 — no pinning op needed (an explicit boundary `where`
+#     also pushed the kernel over a Mosaic register-pressure cliff that
+#     cost 80x, see BENCH_NOTES).
 
 
 def _wavefront_kernel(
@@ -489,10 +504,9 @@ def _wavefront_kernel(
     b_new_ref,
     awin_init_ref,
     bwin_init_ref,
-    blen_ref,
     dirs_ref,
-    prev1_ref,
-    prev2_ref,
+    ping_ref,
+    pong_ref,
     awin_ref,
     bwin_ref,
     *,
@@ -505,12 +519,15 @@ def _wavefront_kernel(
 ):
     """One grid step: CHUNK anti-diagonals of BATCH independent banded DPs.
 
-    a_new/b_new: (chunk, batch) chars entering the windows at each step
-    (step-major so the per-step slice is a full sublane row).
+    a_new/b_new: (batch, chunk) chars entering the windows at each step
+    (batch-major: the per-step slice ref[:, r] is a sublane column that
+    broadcasts along lanes natively; a step-major layout would need a
+    lane->sublane transpose per step, which dominated the kernel).
     awin/bwin init: (batch, width) window state before step 1.
-    blen: (batch, 2) = (a_len, b_len) per pair.
-    dirs: (chunk, batch, width) uint8 output.
-    prev1/prev2: carried dp of steps d-1 / d-2.
+    dirs: (chunk//4, batch, width) uint8 output, 4 steps packed per byte
+    (step d in bits 2*((d-1)%4)).
+    ping/pong: carried dp rows; roles alternate each step (chunk is even,
+    so the assignment is consistent across grid steps).
 
     Throughput scales with `batch`: every vector op covers batch*width/
     (8*128) vregs, so large batches amortize Mosaic's per-op overhead.
@@ -518,36 +535,29 @@ def _wavefront_kernel(
     step = pl.program_id(0)
     half = width // 2
     lanes = jax.lax.broadcasted_iota(jnp.int32, (batch, width), 1)
-    a_len = blen_ref[:, 0].reshape(batch, 1)
-    b_len = blen_ref[:, 1].reshape(batch, 1)
 
     @pl.when(step == 0)
     def _():
         # d=0: only cell (0,0) at lane `half` with dp=0.
-        init = jnp.where(lanes == half, 0, NEG).astype(jnp.int32)
-        prev1_ref[:, :] = init  # becomes prev2 after the first row_body
-        prev2_ref[:, :] = jnp.full((batch, width), NEG, jnp.int32)
+        ping_ref[:, :] = jnp.where(lanes == half, 0, NEG).astype(jnp.int32)
+        pong_ref[:, :] = jnp.full((batch, width), NEG, jnp.int32)
         awin_ref[:, :] = awin_init_ref[:, :]
         bwin_ref[:, :] = bwin_init_ref[:, :]
 
     def step_body(r):
-        d = step * chunk + r + 1  # anti-diagonal index (1-based)
-        k = lanes - half  # j - i
-        # Active cells: parity match and inside the rectangle.
-        i = (d - k) >> 1
-        j = (d + k) >> 1
-        parity_ok = ((d - k) & 1) == 0
-        inside = parity_ok & (i >= 0) & (i <= a_len) & (j >= 0) & (j <= b_len)
+        prev1_ref, prev2_ref = (ping_ref, pong_ref) if r % 2 == 0 else (
+            pong_ref, ping_ref
+        )
 
-        # Window advance (shift-1 rolls + one sublane-row insert each).
+        # Window advance (shift-1 rolls + one sublane-column insert each).
         awin = jnp.where(
             lanes == 0,
-            a_new_ref[r, :].reshape(batch, 1),
+            a_new_ref[:, r].reshape(batch, 1),
             pltpu.roll(awin_ref[:, :], 1, 1),
         )
         bwin = jnp.where(
             lanes == width - 1,
-            b_new_ref[r, :].reshape(batch, 1),
+            b_new_ref[:, r].reshape(batch, 1),
             pltpu.roll(bwin_ref[:, :], width - 1, 1),
         )
         awin_ref[:, :] = awin
@@ -564,21 +574,20 @@ def _wavefront_kernel(
         left_term = jnp.where(lanes > 0, left_term, NEG)
 
         dp = jnp.maximum(jnp.maximum(diag_term, up_term), left_term)
-        # Boundary cells dp(i,0)=gap*i, dp(0,j)=gap*j overwrite the max.
-        boundary = (i == 0) | (j == 0)
-        dp = jnp.where(boundary, gap * (i + j), dp)
-        dp = jnp.where(inside, dp, NEG)
 
         dcode = jnp.full((batch, width), LEFT, dtype=jnp.int32)
         dcode = jnp.where(dp == up_term, UP, dcode)
         dcode = jnp.where(dp == diag_term, DIAG, dcode)
-        dirs_ref[r, :, :] = dcode.astype(jnp.uint8)
 
-        prev2_ref[:, :] = prev1
-        prev1_ref[:, :] = dp
+        prev2_ref[:, :] = dp  # becomes prev1 of the next step
+        return dcode
 
-    for r in range(chunk):
-        step_body(r)
+    # Static unroll; accumulate 4 steps per packed byte in registers.
+    for g in range(chunk // 4):
+        acc = step_body(4 * g)
+        for s in range(1, 4):
+            acc = acc | (step_body(4 * g + s) << (2 * s))
+        dirs_ref[g, :, :] = acc.astype(jnp.uint8)
 
 
 @functools.partial(
@@ -590,7 +599,6 @@ def wavefront_dp(
     b_new,
     awin_init,
     bwin_init,
-    blen,
     *,
     width: int = 512,
     chunk: int = 256,
@@ -600,12 +608,14 @@ def wavefront_dp(
     batch: int = 8,
     interpret: bool = False,
 ):
-    """Anti-diagonal banded DP; returns dirs [steps, batch, width] uint8.
+    """Anti-diagonal banded DP; returns packed dirs [steps//4, batch, width]
+    uint8 (4 steps per byte, step d in bits 2*((d-1)%4)).
 
-    a_new/b_new are (steps, batch) step-major streams.
+    a_new/b_new are (batch, steps) batch-major streams.
     """
-    steps = a_new.shape[0]
-    assert a_new.shape[1] == batch and steps % chunk == 0 and batch % 8 == 0
+    steps = a_new.shape[1]
+    assert a_new.shape[0] == batch and steps % chunk == 0
+    assert chunk % 4 == 0 and batch % 8 == 0
     grid = (steps // chunk,)
     kernel = functools.partial(
         _wavefront_kernel,
@@ -616,16 +626,15 @@ def wavefront_dp(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((chunk, batch), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, batch), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (chunk, batch, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (chunk // 4, batch, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((steps, batch, width), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((steps // 4, batch, width), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((batch, width), jnp.int32),
             pltpu.VMEM((batch, width), jnp.int32),
@@ -633,13 +642,17 @@ def wavefront_dp(
             pltpu.VMEM((batch, width), jnp.int32),
         ],
         interpret=interpret,
-    )(a_new, b_new, awin_init, bwin_init, blen)
+    )(a_new, b_new, awin_init, bwin_init)
 
 
 def traceback_wavefront(
-    dirs: np.ndarray, a_len: int, b_len: int, width: int
+    dirs_packed: np.ndarray, a_len: int, b_len: int, width: int
 ) -> tuple[list[Range], list[Range], int]:
-    """Host traceback over anti-diagonal direction rows (dirs[d-1, w])."""
+    """Host traceback over packed anti-diagonal direction rows.
+
+    dirs_packed: [steps//4, width] uint8 for ONE pair; step d's code is
+    (dirs_packed[(d-1)//4, w] >> (2*((d-1)%4))) & 3.
+    """
     half = width // 2
     i, j = a_len, b_len
     cols: list[int] = []
@@ -655,7 +668,8 @@ def traceback_wavefront(
             elif w >= width - 1:
                 d = LEFT
             else:
-                d = int(dirs[i + j - 1, w])
+                s = i + j - 1
+                d = (int(dirs_packed[s >> 2, w]) >> (2 * (s & 3))) & 3
         if d == DIAG:
             cols.append(0)
             i -= 1
@@ -684,6 +698,49 @@ def traceback_wavefront(
     return ref_runs, query_runs, n
 
 
+def _wavefront_streams(pairs, steps: int, batch: int, width: int):
+    """Host-side input assembly for `wavefront_dp` (batch-major streams)."""
+    half = width // 2
+    A_new = np.full((batch, steps), 4, dtype=np.int32)
+    B_new = np.full((batch, steps), 5, dtype=np.int32)  # distinct pads: never match
+    Awin = np.full((batch, width), 4, dtype=np.int32)
+    Bwin = np.full((batch, width), 5, dtype=np.int32)
+
+    def stream(seq, idx, pad):
+        n_s = len(seq)
+        if n_s == 0:
+            return np.full(idx.shape, pad, dtype=np.int32)
+        return np.where((idx >= 0) & (idx < n_s), seq[np.clip(idx, 0, n_s - 1)], pad)
+
+    d_idx = np.arange(1, steps + 1)
+    w_idx = np.arange(width)
+    for p, (a, b) in enumerate(pairs):
+        # Entering chars at step d (1-based): awin[0] = a[(d+half)/2 - 1],
+        # bwin[W-1] = b[(d + width-1 - half)/2 - 1]  (floor; pad outside).
+        A_new[p] = stream(a, (d_idx + half) // 2 - 1, 4)
+        B_new[p] = stream(b, (d_idx + width - 1 - half) // 2 - 1, 5)
+        # Window state before step 1: awin_0[w] = a[(0-w+half)/2 - 1] etc.
+        Awin[p] = stream(a, (0 - w_idx + half) // 2 - 1, 4)
+        Bwin[p] = stream(b, (0 + w_idx - half) // 2 - 1, 5)
+    return A_new, B_new, Awin, Bwin
+
+
+def _traceback_many(dirs_packed: np.ndarray, pairs, width: int):
+    """Traceback every pair of one launch: native C++ when available
+    (the per-cell Python walk is the bottleneck at scale), else Python."""
+    from paramugsy_tpu.ops.native import wavefront_traceback_native
+
+    a_lens = np.fromiter((len(a) for a, _ in pairs), np.int32, len(pairs))
+    b_lens = np.fromiter((len(b) for _, b in pairs), np.int32, len(pairs))
+    nat = wavefront_traceback_native(dirs_packed, a_lens, b_lens, width)
+    if nat is not None:
+        return nat
+    return [
+        traceback_wavefront(dirs_packed[:, p, :], len(a), len(b), width)
+        for p, (a, b) in enumerate(pairs)
+    ]
+
+
 def wavefront_align_batch(
     pairs: list[tuple[np.ndarray, np.ndarray]],
     *,
@@ -708,42 +765,79 @@ def wavefront_align_batch(
             raise ValueError("length difference exceeds band")
     steps = max(len(a) + len(b) for a, b in pairs)
     steps = -(-max(steps, 1) // chunk) * chunk
-    A_new = np.full((steps, batch), 4, dtype=np.int32)
-    B_new = np.full((steps, batch), 5, dtype=np.int32)  # distinct pads: never match
-    Awin = np.full((batch, width), 4, dtype=np.int32)
-    Bwin = np.full((batch, width), 5, dtype=np.int32)
-    Blen = np.zeros((batch, 2), dtype=np.int32)
-    def stream(seq, idx, pad):
-        n_s = len(seq)
-        if n_s == 0:
-            return np.full(idx.shape, pad, dtype=np.int32)
-        return np.where((idx >= 0) & (idx < n_s), seq[np.clip(idx, 0, n_s - 1)], pad)
-
-    for p, (a, b) in enumerate(pairs):
-        a_len, b_len = len(a), len(b)
-        Blen[p] = (a_len, b_len)
-        # Entering chars at step d (1-based): awin[0] = a[(d+half)/2 - 1],
-        # bwin[W-1] = b[(d + width-1 - half)/2 - 1]  (floor; pad outside).
-        d_idx = np.arange(1, steps + 1)
-        A_new[:, p] = stream(a, (d_idx + half) // 2 - 1, 4)
-        B_new[:, p] = stream(b, (d_idx + width - 1 - half) // 2 - 1, 5)
-        # Window state before step 1: awin_0[w] = a[(0-w+half)/2 - 1] etc.
-        w_idx = np.arange(width)
-        Awin[p] = stream(a, (0 - w_idx + half) // 2 - 1, 4)
-        Bwin[p] = stream(b, (0 + w_idx - half) // 2 - 1, 5)
+    A_new, B_new, Awin, Bwin = _wavefront_streams(pairs, steps, batch, width)
     dirs = np.asarray(
         wavefront_dp(
             jnp.asarray(A_new),
             jnp.asarray(B_new),
             jnp.asarray(Awin),
             jnp.asarray(Bwin),
-            jnp.asarray(Blen),
             width=width, chunk=chunk,
             match=match, mismatch=mismatch, gap=gap,
             batch=batch, interpret=interpret,
         )
     )
-    return [
-        traceback_wavefront(dirs[:, p, :], len(a), len(b), width)
-        for p, (a, b) in enumerate(pairs)
-    ]
+    return _traceback_many(dirs, pairs, width)
+
+
+def wavefront_align_many(
+    segs: list[tuple[np.ndarray, np.ndarray]],
+    *,
+    match: int = 2,
+    mismatch: int = -3,
+    gap: int = -4,
+    batch: int = 64,
+    chunk: int = 256,
+    base_width: int = 512,
+    interpret: bool = False,
+):
+    """Align arbitrarily many segment pairs on the device.
+
+    Pairs are grouped by required band width (doubling from `base_width`
+    until the length difference fits) and bucketed by step count, then
+    dispatched `batch` at a time.  Returns results in input order, same
+    per-pair contract as `wavefront_align_batch`.
+    """
+    results: list = [None] * len(segs)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (a, b) in enumerate(segs):
+        if len(a) + len(b) == 0:
+            results[i] = ([], [], 0)
+            continue
+        width = base_width
+        while abs(len(a) - len(b)) >= width // 2:
+            width *= 2
+        steps = -(-(len(a) + len(b)) // chunk) * chunk
+        # Bucket steps to powers of two (in chunk units) to bound the
+        # number of compiled kernel shapes.
+        bucket = chunk
+        while bucket < steps:
+            bucket *= 2
+        groups.setdefault((width, bucket), []).append(i)
+    for (width, bucket), idxs in sorted(groups.items()):
+        for lo in range(0, len(idxs), batch):
+            part = idxs[lo : lo + batch]
+            pairs = [segs[i] for i in part]
+            n_b = batch if len(part) > batch // 2 else 8
+            while len(pairs) < n_b:
+                pairs.append(
+                    (np.empty(0, dtype=np.int8), np.empty(0, dtype=np.int8))
+                )
+            A_new, B_new, Awin, Bwin = _wavefront_streams(
+                pairs, bucket, n_b, width
+            )
+            dirs = np.asarray(
+                wavefront_dp(
+                    jnp.asarray(A_new),
+                    jnp.asarray(B_new),
+                    jnp.asarray(Awin),
+                    jnp.asarray(Bwin),
+                    width=width, chunk=chunk,
+                    match=match, mismatch=mismatch, gap=gap,
+                    batch=n_b, interpret=interpret,
+                )
+            )
+            outs = _traceback_many(dirs, pairs, width)
+            for i, out in zip(part, outs):
+                results[i] = out
+    return results

@@ -50,9 +50,19 @@ class ArtifactStore:
     def has_pair(self, a: str, b: str) -> bool:
         return os.path.exists(self._pair_path(self.pair_key(a, b)))
 
+    @staticmethod
+    def _tmp_name(path: str) -> str:
+        # Unique per writer: two hosts/threads may legitimately produce the
+        # same artifact concurrently (e.g. every host computes every merge
+        # node); sharing one tmp path would make the loser's os.replace
+        # raise FileNotFoundError after the winner renamed it away.
+        import threading
+
+        return f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+
     def save_pair(self, a: str, b: str, entries: list[DeltaEntry]) -> None:
         path = self._pair_path(self.pair_key(a, b))
-        tmp = path + ".tmp"
+        tmp = self._tmp_name(path)
         with open(tmp, "w") as f:
             w = DeltaWriter(f, a, b)
             for e in entries:
@@ -78,7 +88,7 @@ class ArtifactStore:
 
     def save_node(self, genomes: Iterable[str], blocks: list[MafBlock]) -> None:
         path = self._node_path(self.node_key(genomes))
-        tmp = path + ".tmp"
+        tmp = self._tmp_name(path)
         write_maf(tmp, blocks, header=MAF_HEADER)
         os.replace(tmp, path)
 

@@ -119,7 +119,7 @@ class TestWavefrontKernel:
             b[m] = ((b[m] + 1) % 4).astype(np.int8)
         else:
             b = rng.integers(0, 4, size=lb).astype(np.int8)
-        (res,) = wavefront_align_batch([(a, b)], width=256, chunk=128, interpret=True)
+        (res,) = wavefront_align_batch([(a, b)], width=256, chunk=16, interpret=True)
         rg, qg, n = res
         assert path_score(a, b, rg, qg, n) == brute_nw(a, b)
 
@@ -138,7 +138,7 @@ class TestWavefrontKernel:
             m = rng.random(len(b)) < 0.05
             b[m] = ((b[m] + 1) % 4).astype(np.int8)
             pairs.append((a, b))
-        wf = wavefront_align_batch(pairs, width=256, chunk=128, interpret=True)
+        wf = wavefront_align_batch(pairs, width=256, chunk=16, interpret=True)
         row = banded_align_batch(pairs, width=256, chunk=128, interpret=True)
         for (a, b), got_wf, got_row in zip(pairs, wf, row):
             # Same optimal score (tie paths may differ between formulations).
@@ -151,6 +151,34 @@ class TestWavefrontKernel:
 
         a = np.array([0, 1, 2], np.int8)
         b = np.zeros(0, np.int8)
-        (res,) = wavefront_align_batch([(a, b)], width=256, chunk=128, interpret=True)
+        (res,) = wavefront_align_batch([(a, b)], width=256, chunk=16, interpret=True)
         rg, qg, n = res
         assert n == 3 and qg[0].length == 3 and rg == []
+
+    def test_align_many_buckets_and_order(self):
+        """wavefront_align_many returns per-pair optima in input order,
+        across step buckets and batch padding."""
+        from paramugsy_tpu.ops.pallas_extend import (
+            wavefront_align_batch,
+            wavefront_align_many,
+        )
+
+        rng = np.random.default_rng(21)
+        segs = []
+        for la in (0, 7, 30, 90, 60, 15):
+            a = rng.integers(0, 4, size=la).astype(np.int8)
+            if la >= 4:
+                b = np.delete(a, rng.choice(la, 2, replace=False)).copy()
+            else:
+                b = a.copy()
+            segs.append((a, b))
+        many = wavefront_align_many(
+            segs, batch=8, chunk=16, base_width=256, interpret=True
+        )
+        assert len(many) == len(segs)
+        assert many[0] == ([], [], 0)
+        for (a, b), got in zip(segs[1:], many[1:]):
+            (single,) = wavefront_align_batch(
+                [(a, b)], width=256, chunk=16, interpret=True
+            )
+            assert path_score(a, b, *got) == path_score(a, b, *single)
