@@ -139,15 +139,15 @@ int pm_nw_align_batch(const int8_t* a, const int32_t* a_len,
 int pm_version() { return 2; }
 
 // Traceback over the TPU wavefront kernel's packed direction buffer.
-//   dirs:   [steps4, batch, width] uint8; step d (1-based) of pair p lane w
-//           is bits 2*((d-1)%4) of dirs[(d-1)/4][p][w].
+//   dirs:   [steps16, batch, width] int32; step d (1-based) of pair p lane
+//           w is bits 2*((d-1)%16) of dirs[(d-1)/16][p][w].
 //   a_len/b_len: [n_pairs] segment lengths (n_pairs <= batch).
 //   out_cols:  [n_pairs] alignment column counts
 //   out_runs:  [n_pairs, max_runs, 3] (side, start, end); side 0 = ref gap
 //              (LEFT columns), 1 = query gap (UP columns); 1-indexed.
 //   out_nruns: [n_pairs]
 // Returns 0, or -1 if any pair overflowed max_runs.
-int pm_wavefront_traceback(const uint8_t* dirs, int32_t steps4, int32_t batch,
+int pm_wavefront_traceback(const int32_t* dirs, int32_t steps16, int32_t batch,
                            int32_t width, const int32_t* a_len,
                            const int32_t* b_len, int32_t n_pairs,
                            int32_t* out_cols, int32_t* out_runs,
@@ -175,9 +175,9 @@ int pm_wavefront_traceback(const uint8_t* dirs, int32_t steps4, int32_t batch,
           d = LEFT;
         } else {
           int32_t s = i + j - 1;  // 0-based step index
-          uint8_t byte =
-              dirs[((size_t)(s >> 2) * batch + p) * width + w];
-          d = (byte >> (2 * (s & 3))) & 3;
+          int32_t word =
+              dirs[((size_t)(s >> 4) * batch + p) * width + w];
+          d = (word >> (2 * (s & 15))) & 3;
         }
       }
       cols.push_back(d);

@@ -285,6 +285,33 @@ def device_codes(
     return hit
 
 
+def _finish_pair(
+    chains: list[RawChain],
+    ref_np: np.ndarray,
+    query_np: np.ndarray,
+    ref_name: str,
+    query_name: str,
+    cfg: AlignConfig,
+) -> list[DeltaEntry]:
+    """Chains -> sorted, post-filtered delta entries (host tail)."""
+    n_q = len(query_np)
+    query_rc_np = revcomp_codes_np(query_np)
+    entries: list[DeltaEntry] = []
+    for chain in chains:
+        qn = query_rc_np if chain.reverse else query_np
+        entries.extend(
+            _entries_of_chain(chain, ref_np, qn, ref_name, query_name, n_q, cfg)
+        )
+    entries.sort(key=lambda e: (e.ref_range.abs().start, e.ref_range.abs().end))
+    if cfg.post_filter == "one_to_one":
+        entries = filter_one_to_one(entries)
+    elif cfg.post_filter == "colinear":
+        entries = filter_colinear(entries)
+    elif cfg.post_filter:
+        raise ValueError(f"unknown post_filter: {cfg.post_filter}")
+    return entries
+
+
 def align_pair(
     ref_seq: str | np.ndarray,
     query_seq: str | np.ndarray,
@@ -309,24 +336,86 @@ def align_pair(
     # windows are invalid, so results are unchanged.
     ref_d = device_codes(ref_np, device_cache, ref_name)
     query_d = device_codes(query_np, device_cache, query_name)
-    # The device derives the revcomp stream itself; the host keeps its own
-    # copy for gap extension of reverse-strand chains.
-    query_rc_np = revcomp_codes_np(query_np)
+    chains = _chain_seeds_all(ref_d, query_d, n_q, cfg)
+    return _finish_pair(chains, ref_np, query_np, ref_name, query_name, cfg)
 
-    entries: list[DeltaEntry] = []
-    for chain in _chain_seeds_all(ref_d, query_d, n_q, cfg):
-        qn = query_rc_np if chain.reverse else query_np
-        entries.extend(
-            _entries_of_chain(chain, ref_np, qn, ref_name, query_name, n_q, cfg)
+
+def align_pairs_batch(
+    jobs: list[tuple],
+    cfg: AlignConfig | None = None,
+    device_cache: dict | None = None,
+) -> list[list[DeltaEntry]]:
+    """Align many (ref_seq, query_seq, ref_name, query_name) jobs with one
+    device dispatch + one packed transfer per same-bucket group.
+
+    The per-pair fused seeding/clustering compute is identical to
+    `align_pair`'s; what changes is the dispatch economics — a chunk of
+    pairs rides one vmapped kernel and one device->host transfer (the
+    reference's nucmer chunk fan-out, job_processor.ml:128-154, on a
+    single device).  Jobs that overflow the seed bucket or exceed the
+    windowing limit fall back to the single-pair path, which retries with
+    doubled buckets.
+    """
+    from paramugsy_tpu.ops.seeding import (
+        seed_cluster_both_packed_batch,
+        unpack_seed_clusters,
+    )
+
+    cfg = cfg or AlignConfig()
+    results: list = [None] * len(jobs)
+    enc: list[tuple[np.ndarray, np.ndarray, str, str]] = []
+    singles: list[int] = []
+    groups: dict[tuple[int, int], list[int]] = {}
+    from paramugsy_tpu.ops.encode import bucket_size
+
+    for idx, (ref_seq, query_seq, rn, qn) in enumerate(jobs):
+        ref_np = ref_seq if isinstance(ref_seq, np.ndarray) else encode(ref_seq)
+        query_np = (
+            query_seq if isinstance(query_seq, np.ndarray) else encode(query_seq)
         )
-    entries.sort(key=lambda e: (e.ref_range.abs().start, e.ref_range.abs().end))
-    if cfg.post_filter == "one_to_one":
-        entries = filter_one_to_one(entries)
-    elif cfg.post_filter == "colinear":
-        entries = filter_colinear(entries)
-    elif cfg.post_filter:
-        raise ValueError(f"unknown post_filter: {cfg.post_filter}")
-    return entries
+        enc.append((ref_np, query_np, rn, qn))
+        if max(len(ref_np), len(query_np)) > cfg.window:
+            singles.append(idx)
+            continue
+        groups.setdefault(
+            (bucket_size(len(ref_np)), bucket_size(len(query_np))), []
+        ).append(idx)
+
+    for (rb, qb), idxs in sorted(groups.items()):
+        if len(idxs) == 1:
+            singles.extend(idxs)
+            continue
+        refs = jnp.stack(
+            [device_codes(enc[i][0], device_cache, enc[i][2]) for i in idxs]
+        )
+        queries = jnp.stack(
+            [device_codes(enc[i][1], device_cache, enc[i][3]) for i in idxs]
+        )
+        q_lens = jnp.asarray([len(enc[i][1]) for i in idxs], jnp.int32)
+        packed = np.asarray(
+            seed_cluster_both_packed_batch(
+                refs, queries, q_lens,
+                k=cfg.k, max_seeds=cfg.max_seeds,
+                unique_in_query=cfg.unique_in_query,
+                min_match=cfg.min_match, band=cfg.band,
+                max_gap=cfg.max_gap, max_clusters=cfg.max_clusters,
+            )
+        )
+        for row, i in zip(packed, idxs):
+            _, n_runs, strands = unpack_seed_clusters(
+                row, cfg.max_seeds, cfg.max_clusters
+            )
+            if n_runs > len(strands[0].seed_rpos):
+                singles.append(i)  # seed overflow: single-pair retry path
+                continue
+            ref_np, query_np, rn, qn = enc[i]
+            chains = _chains_of_strands(strands, cfg)
+            results[i] = _finish_pair(chains, ref_np, query_np, rn, qn, cfg)
+
+    for i in singles:
+        ref_np, query_np, rn, qn = enc[i]
+        results[i] = align_pair(ref_np, query_np, rn, qn, cfg, device_cache)
+    return results
 
 
 def _windows(n: int, cfg: AlignConfig):

@@ -159,7 +159,7 @@ def wavefront_traceback_native(
 ):
     """Traceback of the packed wavefront dirs buffer for all pairs.
 
-    dirs_packed: [steps4, batch, width] uint8 from ops.pallas_extend.
+    dirs_packed: [steps16, batch, width] int32 from ops.pallas_extend.
     Returns a list of (ref_runs, query_runs, n_columns), or None when the
     native library is unavailable.
     """
@@ -169,7 +169,7 @@ def wavefront_traceback_native(
     if not hasattr(lib, "_wavefront_configured"):
         lib.pm_wavefront_traceback.restype = ctypes.c_int
         lib.pm_wavefront_traceback.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
@@ -177,10 +177,10 @@ def wavefront_traceback_native(
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ]
         lib._wavefront_configured = True
-    steps4, batch, w = dirs_packed.shape
+    steps16, batch, w = dirs_packed.shape
     assert w == width
     n_pairs = len(a_lens)
-    dirs_packed = np.ascontiguousarray(dirs_packed, dtype=np.uint8)
+    dirs_packed = np.ascontiguousarray(dirs_packed, dtype=np.int32)
     a_lens = np.ascontiguousarray(a_lens, dtype=np.int32)
     b_lens = np.ascontiguousarray(b_lens, dtype=np.int32)
     max_runs = int(a_lens.max(initial=0) + b_lens.max(initial=0) + 2)
@@ -188,8 +188,8 @@ def wavefront_traceback_native(
     runs = np.zeros((n_pairs, max_runs, 3), dtype=np.int32)
     nruns = np.zeros(n_pairs, dtype=np.int32)
     rc = lib.pm_wavefront_traceback(
-        _ptr(dirs_packed, ctypes.c_uint8),
-        steps4, batch, width,
+        _ptr(dirs_packed, ctypes.c_int32),
+        steps16, batch, width,
         _ptr(a_lens, ctypes.c_int32), _ptr(b_lens, ctypes.c_int32), n_pairs,
         _ptr(cols, ctypes.c_int32), _ptr(runs, ctypes.c_int32),
         _ptr(nruns, ctypes.c_int32), max_runs,

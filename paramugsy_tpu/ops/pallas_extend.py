@@ -483,10 +483,11 @@ def banded_align_batch(
 # step (parity); the win is that every op is cheap.
 #
 # Three further optimizations over the round-1 kernel:
-#   * direction codes are packed 4 steps per byte (2 bits each), cutting
-#     both the VMEM output block and the device->host transfer 4x — the
-#     transfer, not the compute, bounds end-to-end throughput on a
-#     tunneled chip;
+#   * direction codes are packed 16 steps per int32 (2 bits each), cutting
+#     both the VMEM output block and any device->host transfer 4x, and —
+#     crucially — making the buffer readable by the on-device traceback
+#     kernel below (SMEM holds int32 scalars; a uint8 layout cannot be
+#     scalar-read on TPU);
 #   * prev1/prev2 ping-pong between two scratch refs (no per-step copy);
 #   * no parity/rectangle/boundary masking at all.  Off-parity and
 #     out-of-rectangle lanes compute garbage that provably never flows
@@ -524,8 +525,8 @@ def _wavefront_kernel(
     broadcasts along lanes natively; a step-major layout would need a
     lane->sublane transpose per step, which dominated the kernel).
     awin/bwin init: (batch, width) window state before step 1.
-    dirs: (chunk//4, batch, width) uint8 output, 4 steps packed per byte
-    (step d in bits 2*((d-1)%4)).
+    dirs: (chunk//16, batch, width) int32 output, 16 steps packed per
+    word (step d in bits 2*((d-1)%16)).
     ping/pong: carried dp rows; roles alternate each step (chunk is even,
     so the assignment is consistent across grid steps).
 
@@ -582,12 +583,18 @@ def _wavefront_kernel(
         prev2_ref[:, :] = dp  # becomes prev1 of the next step
         return dcode
 
-    # Static unroll; accumulate 4 steps per packed byte in registers.
-    for g in range(chunk // 4):
-        acc = step_body(4 * g)
-        for s in range(1, 4):
-            acc = acc | (step_body(4 * g + s) << (2 * s))
-        dirs_ref[g, :, :] = acc.astype(jnp.uint8)
+    # Static unroll; accumulate 4 steps per register group, OR groups
+    # into the output word in VMEM (keeping the full 16-step accumulator
+    # in registers re-creates the pressure cliff).
+    for g in range(chunk // 16):
+        for q in range(4):
+            acc = step_body(16 * g + 4 * q)
+            for s in range(1, 4):
+                acc = acc | (step_body(16 * g + 4 * q + s) << (2 * s))
+            if q == 0:
+                dirs_ref[g, :, :] = acc
+            else:
+                dirs_ref[g, :, :] = dirs_ref[g, :, :] | (acc << (8 * q))
 
 
 @functools.partial(
@@ -608,14 +615,14 @@ def wavefront_dp(
     batch: int = 8,
     interpret: bool = False,
 ):
-    """Anti-diagonal banded DP; returns packed dirs [steps//4, batch, width]
-    uint8 (4 steps per byte, step d in bits 2*((d-1)%4)).
+    """Anti-diagonal banded DP; returns packed dirs [steps//16, batch,
+    width] int32 (16 steps per word, step d in bits 2*((d-1)%16)).
 
     a_new/b_new are (batch, steps) batch-major streams.
     """
     steps = a_new.shape[1]
     assert a_new.shape[0] == batch and steps % chunk == 0
-    assert chunk % 4 == 0 and batch % 8 == 0
+    assert chunk % 16 == 0 and batch % 8 == 0
     grid = (steps // chunk,)
     kernel = functools.partial(
         _wavefront_kernel,
@@ -632,9 +639,9 @@ def wavefront_dp(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (chunk // 4, batch, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (chunk // 16, batch, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((steps // 4, batch, width), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((steps // 16, batch, width), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((batch, width), jnp.int32),
             pltpu.VMEM((batch, width), jnp.int32),
@@ -650,8 +657,8 @@ def traceback_wavefront(
 ) -> tuple[list[Range], list[Range], int]:
     """Host traceback over packed anti-diagonal direction rows.
 
-    dirs_packed: [steps//4, width] uint8 for ONE pair; step d's code is
-    (dirs_packed[(d-1)//4, w] >> (2*((d-1)%4))) & 3.
+    dirs_packed: [steps//16, width] int32 for ONE pair; step d's code is
+    (dirs_packed[(d-1)//16, w] >> (2*((d-1)%16))) & 3.
     """
     half = width // 2
     i, j = a_len, b_len
@@ -669,7 +676,7 @@ def traceback_wavefront(
                 d = LEFT
             else:
                 s = i + j - 1
-                d = (int(dirs_packed[s >> 2, w]) >> (2 * (s & 3))) & 3
+                d = (int(dirs_packed[s >> 4, w]) >> (2 * (s & 15))) & 3
         if d == DIAG:
             cols.append(0)
             i -= 1
@@ -695,6 +702,213 @@ def traceback_wavefront(
             if c != 0:
                 start = idx
             kind = c
+    return ref_runs, query_runs, n
+
+
+# ---------------------------------------------------------------------------
+# On-device traceback: ship O(path) bytes instead of O(cells/16) words.
+# ---------------------------------------------------------------------------
+#
+# The packed dirs buffer for a 64-pair x 16 kbp launch is ~64 MiB — far
+# more than the alignment paths it encodes (~0.5 MiB).  On any
+# host<->device link (PCIe, or the development tunnel) the transfer, not
+# the DP, bounds throughput; so the traceback walks on the device and only
+# the per-pair move codes come back.
+#
+# TPU constraint driving the design: VMEM vectors cannot be scalar-indexed
+# on the lane axis, but SMEM supports arbitrary dynamic scalar reads and
+# writes.  The walk therefore DMAs (win_rows x width) int32 word-windows
+# HBM->SMEM and follows the path with pure scalar ops; one window covers
+# 16*win_rows anti-diagonal steps, and the walk's step index decreases
+# monotonically, so each window is fetched at most once per pair.
+
+
+def _traceback_kernel(
+    lens_ref,
+    dirs_ref,
+    path_ref,
+    nm_ref,
+    win,
+    path_buf,
+    sem,
+    out_sem,
+    *,
+    width,
+    steps16,
+    cap16,
+    win_rows,
+):
+    """Grid = (batch,): walk one pair's path, emitting 2-bit move codes.
+
+    lens: SMEM (batch, 2) int32 (a_len, b_len).
+    dirs: HBM [batch, steps16, width] int32 packed direction words
+    (batch-major: the pair slice must be on the OUTERMOST axis — tiled
+    HBM memrefs cannot be sliced by 1 on their last two dims).
+    path: HBM out [batch, 1, cap16] int32 — move codes in WALK order
+    (end -> start), 16 per word, move m in bits 2*(m%16); built in the
+    SMEM `path_buf` scratch and DMA'd out per pair (SMEM output blocks
+    must be full-array, and scalar stores to VMEM are unsupported).
+    nm:   SMEM out (batch, 1) int32 — number of moves.
+    win:  SMEM scratch (win_rows, width) int32 word-window covering
+    word-rows [base, base+win_rows) with base aligned to win_rows (the
+    steps16 slice start must respect the (8,128) tiling).
+    """
+    p = pl.program_id(0)
+    half = width // 2
+    a_len = lens_ref[p, 0]
+    b_len = lens_ref[p, 1]
+
+    def outer_cond(st):
+        i, j, m, word = st
+        return (i > 0) | (j > 0)
+
+    def outer_body(st):
+        i, j, m, word = st
+        s16 = jnp.maximum(i + j - 1, 0) >> 4
+        base = (s16 // win_rows) * win_rows
+        dma = pltpu.make_async_copy(
+            dirs_ref.at[p, pl.ds(base, win_rows), :], win, sem
+        )
+        dma.start()
+        dma.wait()
+
+        def inner_cond(st2):
+            i2, j2, m2, w2 = st2
+            more = (i2 > 0) | (j2 > 0)
+            in_win = ((i2 + j2 - 1) >> 4) >= base
+            return more & (in_win | (i2 == 0) | (j2 == 0))
+
+        def inner_body(st2):
+            i2, j2, m2, word2 = st2
+            s = i2 + j2 - 1
+            w = j2 - i2 + half
+            row = jnp.clip((s >> 4) - base, 0, win_rows - 1)
+            col = jnp.clip(w, 0, width - 1)
+            code = (win[row, col] >> (2 * (s & 15))) & 3
+            code = jnp.where(w >= width - 1, LEFT, code)
+            code = jnp.where(w <= 0, UP, code)
+            code = jnp.where(j2 == 0, UP, code)
+            code = jnp.where(i2 == 0, LEFT, code)
+            word2 = word2 | (code << (2 * (m2 & 15)))
+            path_buf[0, m2 >> 4] = word2
+            i2 = i2 - jnp.where(code == LEFT, 0, 1)
+            j2 = j2 - jnp.where(code == UP, 0, 1)
+            m2 = m2 + 1
+            word2 = jnp.where((m2 & 15) == 0, 0, word2)
+            return i2, j2, m2, word2
+
+        return lax.while_loop(inner_cond, inner_body, (i, j, m, word))
+
+    _, _, m, _ = lax.while_loop(
+        outer_cond,
+        outer_body,
+        (a_len, b_len, jnp.int32(0), jnp.int32(0)),
+    )
+    nm_ref[p, 0] = m
+    out = pltpu.make_async_copy(path_buf, path_ref.at[p], out_sem)
+    out.start()
+    out.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "chunk", "match", "mismatch", "gap", "batch", "win_rows",
+        "interpret",
+    ),
+)
+def wavefront_dp_device_tb(
+    a_new,
+    b_new,
+    awin_init,
+    bwin_init,
+    lens,
+    *,
+    width: int = 512,
+    chunk: int = 128,
+    match: int = 2,
+    mismatch: int = -3,
+    gap: int = -4,
+    batch: int = 8,
+    win_rows: int = 8,
+    interpret: bool = False,
+):
+    """Forward banded DP + on-device traceback, one jitted program.
+
+    Returns (path [batch, 1, cap16] int32, n_moves [batch, 1] int32); the
+    dirs buffer never leaves the device — only O(path) bytes do.
+    """
+    steps = a_new.shape[1]
+    dirs = wavefront_dp(
+        a_new, b_new, awin_init, bwin_init,
+        width=width, chunk=chunk, match=match, mismatch=mismatch, gap=gap,
+        batch=batch, interpret=interpret,
+    )
+    # Pair-major layout: tiled HBM memrefs only allow 1-sized slices on
+    # the outermost axis, so the walk's per-pair slice must lead.  The
+    # transpose is one HBM->HBM copy (~100 us/launch), nothing vs the
+    # transfer it saves.
+    dirs = jnp.transpose(dirs, (1, 0, 2))
+    steps16 = steps // 16
+    # moves <= steps -> steps16 + 1 words; round up to the 128-lane tile
+    # (the SMEM->HBM path DMA requires 128-aligned extents).
+    cap16 = ((steps16 + 1 + 127) // 128) * 128
+    win_rows = min(win_rows, steps16)
+    kernel = functools.partial(
+        _traceback_kernel,
+        width=width, steps16=steps16, cap16=cap16, win_rows=win_rows,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, 1, cap16), jnp.int32),
+            jax.ShapeDtypeStruct((batch, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((win_rows, width), jnp.int32),
+            pltpu.SMEM((1, cap16), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(lens, dirs)
+
+
+def _runs_of_path_words(words: np.ndarray, n_moves: int):
+    """Packed walk-order move codes -> (ref_runs, query_runs, n_columns).
+
+    Vectorized unpack: the walk emits codes end->start, so reversing
+    yields alignment-column order (0=match, 1=UP/query-gap, 2=LEFT/
+    ref-gap in *kernel* codes; column semantics map LEFT->ref gap run,
+    UP->query gap run, matching traceback_wavefront).
+    """
+    if n_moves == 0:
+        return [], [], 0
+    n_words = (n_moves + 15) >> 4
+    shifts = 2 * np.arange(16, dtype=np.int32)
+    codes = (words[:n_words, None] >> shifts[None, :]) & 3
+    codes = codes.reshape(-1)[:n_moves][::-1]
+    n = int(n_moves)
+    # Runs of consecutive equal codes.
+    change = np.flatnonzero(np.diff(codes)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    ref_runs: list[Range] = []
+    query_runs: list[Range] = []
+    for s, e, c in zip(starts, ends, codes[starts]):
+        if c == LEFT:
+            ref_runs.append(Range(int(s) + 1, int(e)))
+        elif c == UP:
+            query_runs.append(Range(int(s) + 1, int(e)))
     return ref_runs, query_runs, n
 
 
@@ -780,6 +994,11 @@ def wavefront_align_batch(
     return _traceback_many(dirs, pairs, width)
 
 
+# Longest launch the on-device traceback handles: cap16 = steps/16 + 1
+# int32 words must fit an SMEM output block.
+DEVICE_TB_MAX_STEPS = 1 << 16
+
+
 def wavefront_align_many(
     segs: list[tuple[np.ndarray, np.ndarray]],
     *,
@@ -787,16 +1006,20 @@ def wavefront_align_many(
     mismatch: int = -3,
     gap: int = -4,
     batch: int = 64,
-    chunk: int = 256,
+    chunk: int = 128,
     base_width: int = 512,
+    device_tb: bool = True,
     interpret: bool = False,
 ):
     """Align arbitrarily many segment pairs on the device.
 
     Pairs are grouped by required band width (doubling from `base_width`
     until the length difference fits) and bucketed by step count, then
-    dispatched `batch` at a time.  Returns results in input order, same
-    per-pair contract as `wavefront_align_batch`.
+    dispatched `batch` at a time.  The traceback runs on the device (only
+    O(path) bytes come home) up to `DEVICE_TB_MAX_STEPS`; longer launches
+    transfer the packed dirs buffer and trace back on the host.  Returns
+    results in input order, same per-pair contract as
+    `wavefront_align_batch`.
     """
     results: list = [None] * len(segs)
     groups: dict[tuple[int, int], list[int]] = {}
@@ -826,18 +1049,38 @@ def wavefront_align_many(
             A_new, B_new, Awin, Bwin = _wavefront_streams(
                 pairs, bucket, n_b, width
             )
-            dirs = np.asarray(
-                wavefront_dp(
-                    jnp.asarray(A_new),
-                    jnp.asarray(B_new),
-                    jnp.asarray(Awin),
-                    jnp.asarray(Bwin),
+            args = (
+                jnp.asarray(A_new),
+                jnp.asarray(B_new),
+                jnp.asarray(Awin),
+                jnp.asarray(Bwin),
+            )
+            if device_tb and bucket <= DEVICE_TB_MAX_STEPS:
+                lens = np.zeros((n_b, 2), dtype=np.int32)
+                for p, (a, b) in enumerate(pairs):
+                    lens[p] = (len(a), len(b))
+                path, nm = wavefront_dp_device_tb(
+                    *args, jnp.asarray(lens),
                     width=width, chunk=chunk,
                     match=match, mismatch=mismatch, gap=gap,
                     batch=n_b, interpret=interpret,
                 )
-            )
-            outs = _traceback_many(dirs, pairs, width)
+                path = np.asarray(path).reshape(n_b, -1)
+                nm = np.asarray(nm)
+                outs = [
+                    _runs_of_path_words(path[p], int(nm[p, 0]))
+                    for p in range(len(part))
+                ]
+            else:
+                dirs = np.asarray(
+                    wavefront_dp(
+                        *args,
+                        width=width, chunk=chunk,
+                        match=match, mismatch=mismatch, gap=gap,
+                        batch=n_b, interpret=interpret,
+                    )
+                )
+                outs = _traceback_many(dirs, pairs, width)
             for i, out in zip(part, outs):
                 results[i] = out
     return results

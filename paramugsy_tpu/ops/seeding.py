@@ -456,6 +456,48 @@ def seed_cluster_both_packed(
     return jnp.concatenate(parts)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "max_seeds", "unique_in_query", "min_match",
+        "band", "max_gap", "max_clusters",
+    ),
+)
+def seed_cluster_both_packed_batch(
+    ref_codes,
+    query_codes,
+    q_len,
+    *,
+    k: int = 15,
+    max_seeds: int = 1 << 16,
+    unique_in_query: bool = False,
+    min_match: int = 20,
+    band: int = 16,
+    max_gap: int = 90,
+    max_clusters: int = 4096,
+):
+    """Batched `seed_cluster_both_packed`: a CHUNK of pairs per dispatch.
+
+    ref_codes/query_codes: [B, N_r]/[B, N_q] padded code batches (same
+    bucket per launch), q_len: [B].  Returns packed int32 [B, L] — one
+    device dispatch and one device->host transfer for the whole chunk
+    (the reference chunked its nucmer fan-out for the same reason:
+    lib/base/job_processor.ml:128-154).  The same function, shard_mapped
+    over a `pairs` mesh axis, is the multi-chip data path
+    (parallel/pair_shard.py).
+    """
+
+    def one(r, q, ql):
+        return seed_cluster_both_packed(
+            r, q, None, ql,
+            k=k, max_seeds=max_seeds, unique_in_query=unique_in_query,
+            min_match=min_match, band=band, max_gap=max_gap,
+            max_clusters=max_clusters,
+        )
+
+    return jax.vmap(one)(ref_codes, query_codes, q_len)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "max_seeds"))
 def find_repeat_seeds(
     ref_codes,

@@ -1,0 +1,171 @@
+"""Collectives-based distributed pairwise phase (SURVEY P6 data plane).
+
+Replaces the reference's rsync-manifest data staging
+(lib/base/script_task.ml:63-93, scripts/sync_to.sh) with one ICI/DCN
+collective: the pair batch is sharded over the mesh's ``pairs`` axis,
+each device runs the fused seeding/clustering kernels on its shard, and
+an ``all_gather`` hands every host every pair's packed summary.  The
+host-side tail (unpack -> chain -> gap-extend -> delta entries) is the
+same code the single-chip path runs; the filesystem `ArtifactStore` is
+demoted to resume-only.
+
+`align_fastas_sharded` is the multi-chip driver: genomes -> guide/job
+tree -> ONE sharded pairwise phase -> tree merges fed from the gathered
+delta pool -> final MAF.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from paramugsy_tpu.formats.delta import DeltaEntry
+from paramugsy_tpu.ops.align_pair import (
+    AlignConfig,
+    _chains_of_strands,
+    _finish_pair,
+    align_pair,
+)
+
+
+def tree_pairs(tree) -> list[tuple[str, str]]:
+    """All (left, right) genome-name pairs any tree node needs, deduped
+    (pm_job.ml:83-91 enumeration via JobTree.all_pairwise)."""
+    seen = set()
+    out: list[tuple[str, str]] = []
+    for p in tree.all_pairwise():
+        if p not in seen:
+            seen.add(p)
+            out.append(p)
+    return out
+
+
+def sharded_genome_pair_deltas(
+    genome_pairs: list,
+    cfg: AlignConfig,
+    mesh: Mesh,
+    device_cache: dict | None = None,
+) -> list[list[DeltaEntry]]:
+    """Pairwise deltas for genome pairs with the mesh as the data plane.
+
+    Contig-level jobs are padded to ONE shared bucket shape, the batch is
+    sharded over the ``pairs`` mesh axis, and the gathered packed results
+    are finished (chained + gap-extended) on the host.  Jobs that exceed
+    the windowing limit or overflow the seed bucket fall back to the
+    local single-pair path.
+    """
+    from paramugsy_tpu.ops.encode import bucket_size, encode
+    from paramugsy_tpu.ops.seeding import unpack_seed_clusters
+    from paramugsy_tpu.parallel.pair_shard import make_sharded_packed_pair_step
+
+    jobs: list[tuple] = []
+    owners: list[int] = []
+    for t, (a, b) in enumerate(genome_pairs):
+        for ra_name, ra in a.seqs.items():
+            for rb_name, rb in b.seqs.items():
+                jobs.append((ra, rb, ra_name, rb_name))
+                owners.append(t)
+
+    enc = []
+    singles: list[int] = []
+    batched: list[int] = []
+    for idx, (ref_seq, query_seq, rn, qn) in enumerate(jobs):
+        ref_np = ref_seq if isinstance(ref_seq, np.ndarray) else encode(ref_seq)
+        query_np = (
+            query_seq if isinstance(query_seq, np.ndarray) else encode(query_seq)
+        )
+        enc.append((ref_np, query_np, rn, qn))
+        if max(len(ref_np), len(query_np)) > cfg.window:
+            singles.append(idx)
+        else:
+            batched.append(idx)
+
+    results: list = [None] * len(jobs)
+    if batched:
+        # One shared bucket across the whole phase: shard_map needs one
+        # static shape, and genome lengths within a run are comparable.
+        rb = max(bucket_size(len(enc[i][0])) for i in batched)
+        qb = max(bucket_size(len(enc[i][1])) for i in batched)
+        n_dev = mesh.devices.size
+        B = -(-len(batched) // n_dev) * n_dev
+        refs = np.full((B, rb), 4, dtype=np.int8)
+        queries = np.full((B, qb), 4, dtype=np.int8)
+        q_lens = np.zeros(B, dtype=np.int32)
+        for row, i in enumerate(batched):
+            ref_np, query_np, _, _ = enc[i]
+            refs[row, : len(ref_np)] = ref_np
+            queries[row, : len(query_np)] = query_np
+            q_lens[row] = len(query_np)
+        step = make_sharded_packed_pair_step(
+            mesh,
+            k=cfg.k, max_seeds=cfg.max_seeds,
+            unique_in_query=cfg.unique_in_query,
+            min_match=cfg.min_match, band=cfg.band,
+            max_gap=cfg.max_gap, max_clusters=cfg.max_clusters,
+        )
+        sh = NamedSharding(mesh, P("pairs"))
+        packed = np.asarray(
+            step(
+                jax.device_put(jnp.asarray(refs), sh),
+                jax.device_put(jnp.asarray(queries), sh),
+                jax.device_put(jnp.asarray(q_lens), sh),
+            )
+        )
+        for row, i in enumerate(batched):
+            _, n_runs, strands = unpack_seed_clusters(
+                packed[row], cfg.max_seeds, cfg.max_clusters
+            )
+            if n_runs > len(strands[0].seed_rpos):
+                singles.append(i)  # overflow: local retry path
+                continue
+            ref_np, query_np, rn, qn = enc[i]
+            chains = _chains_of_strands(strands, cfg)
+            results[i] = _finish_pair(chains, ref_np, query_np, rn, qn, cfg)
+
+    for i in singles:
+        ref_np, query_np, rn, qn = enc[i]
+        results[i] = align_pair(ref_np, query_np, rn, qn, cfg, device_cache)
+
+    out: list[list[DeltaEntry]] = [[] for _ in genome_pairs]
+    for t, entries in zip(owners, results):
+        out[t].extend(entries)
+    return out
+
+
+def align_fastas_sharded(
+    fasta_paths: list[str],
+    out_maf: str,
+    cfg=None,
+    mesh: Mesh | None = None,
+    devices=None,
+):
+    """Multi-chip end-to-end alignment with collectives as the data plane.
+
+    The whole pairwise phase runs as sharded device batches (one
+    dispatch + one all_gather per bucket), then the tree merges consume
+    the gathered delta pool locally — no cross-host filesystem exchange.
+    """
+    from paramugsy_tpu.formats.maf import MAF_HEADER, write_maf
+    from paramugsy_tpu.parallel.mesh import make_mesh
+    from paramugsy_tpu.pipeline import Aligner, PipelineConfig, load_genome
+
+    cfg = cfg or PipelineConfig()
+    genomes = [load_genome(p) for p in fasta_paths]
+    if mesh is None:
+        devices = devices if devices is not None else jax.devices()
+        mesh = make_mesh(n_pairs=len(devices), n_kdim=1, devices=devices)
+    planner = Aligner(genomes, cfg)
+    tree = planner.job_tree()
+    by_name = {g.name: g for g in genomes}
+    pairs = tree_pairs(tree)
+    deltas = sharded_genome_pair_deltas(
+        [(by_name[a], by_name[b]) for a, b in pairs], cfg.align, mesh
+    )
+    pool: list[DeltaEntry] = [e for entries in deltas for e in entries]
+    runner = Aligner(genomes, cfg, delta_pool=pool)
+    blocks = runner.run()
+    if out_maf:
+        write_maf(out_maf, blocks, header=MAF_HEADER)
+    return blocks

@@ -4,10 +4,17 @@ The reference distributes pairwise nucmer jobs over a cluster with shell
 scripts and rsync manifests (lib/base/job_processor.ml:128-154 +
 scripts/sync_to.sh).  Here a *batch of genome pairs* is a tensor sharded
 over the ``pairs`` mesh axis; each device runs the seeding + clustering
-kernels on its shard, and per-pair cluster summaries are exchanged with an
-all_gather over ICI.  The guide-tree distance matrix shards the sketch
+kernels on its shard, and per-pair results are exchanged with an
+all_gather over ICI — after which every host holds every pair's packed
+summary and no filesystem hop is needed (the store remains for
+resume only).  The guide-tree distance matrix shards the sketch
 dimension (``kdim`` axis) so the Jaccard matmul contracts over a sharded
 axis — XLA turns that into a psum.
+
+`make_sharded_packed_pair_step` is the production data plane: the SAME
+fused compute as the single-chip `seed_cluster_both_packed_batch`,
+shard_mapped over the mesh, consumed by
+`parallel.collective.sharded_genome_pair_deltas`.
 """
 from __future__ import annotations
 
@@ -19,7 +26,49 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from paramugsy_tpu.ops.chaining import cluster_seeds
-from paramugsy_tpu.ops.seeding import find_seeds_both
+from paramugsy_tpu.ops.seeding import (
+    find_seeds_both,
+    seed_cluster_both_packed_batch,
+)
+
+
+def make_sharded_packed_pair_step(
+    mesh: Mesh,
+    *,
+    k: int = 15,
+    max_seeds: int = 1 << 15,
+    unique_in_query: bool = False,
+    min_match: int = 20,
+    band: int = 16,
+    max_gap: int = 90,
+    max_clusters: int = 4096,
+):
+    """Jitted step: [B, N] pair batches sharded over ``pairs`` -> packed
+    int32 [B, L] replicated on every device via all_gather.
+
+    Per-shard compute is byte-identical to the single-chip batched path
+    (`ops.seeding.seed_cluster_both_packed_batch`), so the host-side
+    unpack/chain/extend tail is shared between one chip and a pod.
+    """
+    step = functools.partial(
+        seed_cluster_both_packed_batch,
+        k=k, max_seeds=max_seeds, unique_in_query=unique_in_query,
+        min_match=min_match, band=band, max_gap=max_gap,
+        max_clusters=max_clusters,
+    )
+
+    def shard_fn(refs, queries, q_lens):
+        packed = step(refs, queries, q_lens)
+        return lax.all_gather(packed, "pairs", axis=0, tiled=True)
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("pairs"), P("pairs"), P("pairs")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
 
 
 def _pair_step(

@@ -123,6 +123,34 @@ def genome_pair_deltas(
     return out
 
 
+def genome_pair_deltas_batch(
+    genome_pairs: list[tuple[Genome, Genome]],
+    cfg: AlignConfig,
+    device_cache: dict | None = None,
+) -> list[list[DeltaEntry]]:
+    """Deltas for a CHUNK of genome pairs in one device dispatch.
+
+    All contig-level jobs across the chunk batch through
+    `ops.align_pair.align_pairs_batch` — one vmapped kernel launch and
+    one packed transfer per bucket group, the device analog of the
+    reference's chunked nucmer fan-out (lib/base/job_processor.ml:128-154).
+    """
+    from paramugsy_tpu.ops.align_pair import align_pairs_batch
+
+    jobs: list[tuple] = []
+    owners: list[int] = []
+    for t, (a, b) in enumerate(genome_pairs):
+        for ra_name, ra in a.seqs.items():
+            for rb_name, rb in b.seqs.items():
+                jobs.append((ra, rb, ra_name, rb_name))
+                owners.append(t)
+    per_job = align_pairs_batch(jobs, cfg, device_cache)
+    out: list[list[DeltaEntry]] = [[] for _ in genome_pairs]
+    for t, entries in zip(owners, per_job):
+        out[t].extend(entries)
+    return out
+
+
 def fake_mugsy_blocks(g: Genome) -> list[MafBlock]:
     """Single-genome degenerate leaf (lib/profiles/m_maf.ml role)."""
     return [

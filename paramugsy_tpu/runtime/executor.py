@@ -91,8 +91,49 @@ class JobExecutor:
         return deltas
 
     def _pair_chunk_task(self, pairs: list[tuple[str, str]]):
+        """One chunk = ONE device dispatch for every uncached pair.
+
+        Cached/foreign pairs resolve through the store; the rest batch
+        through `genome_pair_deltas_batch` (a vmapped kernel launch + one
+        packed transfer).  On failure the chunk degrades to the per-pair
+        path, which carries the retry policy.
+        """
+        from paramugsy_tpu.pipeline import genome_pair_deltas_batch
+        from paramugsy_tpu.utils.obs import METRICS
+
         out = []
+        compute: list[tuple[str, str]] = []
         for a, b in pairs:
+            if self.store is not None and self.store.has_pair(a, b):
+                self._on_task("nucmer-cached", f"{a}~{b}")
+                out.extend(self.store.load_pair(a, b))
+            elif self.store is not None and self.ownership is not None and not self.ownership.owns(a, b):
+                out.extend(self._pair_deltas(a, b))  # waits on the store
+            else:
+                compute.append((a, b))
+        if len(compute) > 1:
+            try:
+                for a, b in compute:
+                    self._on_task("nucmer", f"{a}~{b}")
+                with METRICS.phase("pairwise", items=len(compute)):
+                    deltas_list = genome_pair_deltas_batch(
+                        [(self.genomes[a], self.genomes[b]) for a, b in compute],
+                        self.cfg.align,
+                        self._device_cache,
+                    )
+                for (a, b), deltas in zip(compute, deltas_list):
+                    if self.store is not None:
+                        self.store.save_pair(a, b, deltas)
+                    out.extend(deltas)
+                return out
+            except Exception:
+                import logging
+
+                logging.getLogger("paramugsy.executor").warning(
+                    "batched pair dispatch failed; retrying per pair",
+                    exc_info=True,
+                )
+        for a, b in compute:
             for attempt in range(self.retries):
                 try:
                     out.extend(self._pair_deltas(a, b))

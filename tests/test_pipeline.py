@@ -30,6 +30,51 @@ def mutate(rng, s, sub=0.02, indels=3):
     return s
 
 
+class TestBatchedPairs:
+    def test_batch_matches_per_pair(self):
+        """align_pairs_batch (one vmapped dispatch per bucket group) must
+        produce exactly the per-pair align_pair results."""
+        from paramugsy_tpu.ops.align_pair import (
+            AlignConfig,
+            align_pair,
+            align_pairs_batch,
+        )
+
+        rng = np.random.default_rng(23)
+        base = rand_dna(rng, 3000)
+        seqs = [base] + [mutate(rng, base) for _ in range(3)]
+        seqs.append(rand_dna(rng, 1200))  # different bucket
+        cfg = AlignConfig()
+        jobs = []
+        for i in range(len(seqs)):
+            for j in range(i + 1, len(seqs)):
+                jobs.append((seqs[i], seqs[j], f"g{i}.c", f"g{j}.c"))
+        batched = align_pairs_batch(jobs, cfg, device_cache={})
+        for (a, b, rn, qn), got in zip(jobs, batched):
+            single = align_pair(a, b, rn, qn, cfg, device_cache={})
+            assert got == single, f"{rn}~{qn} diverged"
+
+    def test_executor_uses_batched_dispatch(self, tmp_path):
+        """The chunked executor path and the sequential Aligner agree."""
+        from paramugsy_tpu.runtime.executor import JobExecutor
+
+        rng = np.random.default_rng(29)
+        base = rand_dna(rng, 2000)
+        genomes = [
+            Genome(name=f"g{i}", seqs={f"g{i}.chr": mutate(rng, base)})
+            for i in range(4)
+        ]
+        cfg = PipelineConfig()
+        tree = Aligner(genomes, cfg).job_tree()
+        seq_blocks = Aligner(genomes, cfg).run()
+        ex = JobExecutor(genomes, cfg, run_size=2, chunk_size=4)
+        conc_blocks = ex.execute(tree)
+        key = lambda bs: sorted(
+            (s.name, s.start, s.size, s.text) for b in bs for s in b.seqs
+        )
+        assert key(conc_blocks) == key(seq_blocks)
+
+
 class TestDistance:
     def test_closer_genomes_smaller_distance(self):
         rng = np.random.default_rng(0)
