@@ -78,21 +78,95 @@ class _Occupancy:
         return out
 
 
+def chain_entries(
+    entries: Sequence[DeltaEntry], max_gap: int = 1000
+) -> list[list[DeltaEntry]]:
+    """Group entries into collinear adjacency chains (the synchain-edge
+    role, cf. mafdefrag/main.ml:3-61, applied before LCB selection).
+
+    Entries of the same (ref seq, query seq, orientation) whose ref and
+    query gaps are both within ``max_gap`` and monotone on both axes form
+    one chain.  Chains compete in `select_consistent` as units, so a run
+    of collinear fragments beats an isolated overlapping alignment — the
+    mugsyWGA chaining behaviour the round-1 greedy tiling lacked.
+    """
+    by_key: dict[tuple, list[DeltaEntry]] = {}
+    for e in entries:
+        key = (e.ref_name, e.query_name, e.query_range.is_forward)
+        by_key.setdefault(key, []).append(e)
+    chains: list[list[DeltaEntry]] = []
+    for (_, _, forward), group in by_key.items():
+        group.sort(key=lambda e: e.ref_range.abs().start)
+        open_chains: list[list[DeltaEntry]] = []
+        for e in group:
+            er, eq = e.ref_range.abs(), e.query_range.abs()
+            best = None
+            for ch in open_chains:
+                lr, lq = ch[-1].ref_range.abs(), ch[-1].query_range.abs()
+                gap_r = er.start - lr.end - 1
+                if not (0 <= gap_r <= max_gap):
+                    continue
+                if forward:
+                    gap_q = eq.start - lq.end - 1
+                else:
+                    gap_q = lq.start - eq.end - 1
+                if not (0 <= gap_q <= max_gap):
+                    continue
+                if best is None or gap_r < best[0]:
+                    best = (gap_r, ch)
+            if best is None:
+                open_chains.append([e])
+            else:
+                best[1].append(e)
+        chains.extend(open_chains)
+    return chains
+
+
 def select_consistent(
-    entries: Iterable[DeltaEntry], min_length: int = 30
+    entries: Iterable[DeltaEntry],
+    min_length: int = 30,
+    chain_gap: int = 1000,
 ) -> tuple[list[DeltaEntry], _Occupancy]:
-    """Greedy heaviest-first tiling: each sequence region appears in at most
-    one selected alignment (the LCB/delta-filter -1 role)."""
+    """LCB selection: heaviest-first tiling over collinear CHAINS.
+
+    Each sequence region appears in at most one selected alignment (the
+    delta-filter -1 tiling role); candidates are adjacency chains rather
+    than single entries, ranked by total aligned columns, so collinear
+    runs are kept whole before isolated heavy entries claim their span.
+    A chain blocked by prior claims degrades member-by-member.
+    """
     occ = _Occupancy()
     kept: list[DeltaEntry] = []
-    ranked = sorted(entries, key=lambda e: -e.alignment_length())
-    for e in ranked:
-        if e.ref_range.length < min_length or e.query_range.length < min_length:
-            continue
-        if occ.free(e.ref_name, e.ref_range) and occ.free(e.query_name, e.query_range):
-            occ.claim(e.ref_name, e.ref_range)
-            occ.claim(e.query_name, e.query_range)
-            kept.append(e)
+    usable = [
+        e
+        for e in entries
+        if e.ref_range.length >= min_length
+        and e.query_range.length >= min_length
+    ]
+    chains = chain_entries(usable, max_gap=chain_gap)
+    chains.sort(key=lambda ch: -sum(e.alignment_length() for e in ch))
+    for ch in chains:
+        whole = all(
+            occ.free(e.ref_name, e.ref_range)
+            and occ.free(e.query_name, e.query_range)
+            for e in ch
+        )
+        members = ch if whole else [
+            e
+            for e in sorted(ch, key=lambda e: -e.alignment_length())
+            if occ.free(e.ref_name, e.ref_range)
+            and occ.free(e.query_name, e.query_range)
+        ]
+        for e in members:
+            # re-check: earlier members of this pass may have claimed
+            # overlapping spans when degrading member-by-member
+            if whole or (
+                occ.free(e.ref_name, e.ref_range)
+                and occ.free(e.query_name, e.query_range)
+            ):
+                occ.claim(e.ref_name, e.ref_range)
+                occ.claim(e.query_name, e.query_range)
+                kept.append(e)
     kept.sort(key=lambda e: (e.ref_name, e.ref_range.abs().start))
     return kept, occ
 
@@ -108,13 +182,16 @@ def merge_blocks(
     emit_unique: bool = True,
     refine: bool = False,
     refine_max_cols: int = 50_000,
+    chain_gap: int = 1000,
 ) -> list[MafBlock]:
     """Merge two alignment levels through genome-space pairwise deltas."""
     lps, lcons = make_profiles_mem(left_blocks, basename_left)
     rps, rcons = make_profiles_mem(right_blocks, basename_right)
 
     translated = translate_deltas(lps, rps, genome_deltas)
-    kept, occ = select_consistent(translated, min_length=min_length)
+    kept, occ = select_consistent(
+        translated, min_length=min_length, chain_gap=chain_gap
+    )
 
     out = list(delta_to_maf_blocks(kept, lcons, rcons))
 

@@ -72,11 +72,38 @@ class ArtifactStore:
     def load_pair(self, a: str, b: str) -> list[DeltaEntry]:
         return list(read_delta(self._pair_path(self.pair_key(a, b))))
 
-    def wait_pair(self, a: str, b: str, timeout: float = 3600, poll: float = 0.2):
-        """Block until another host publishes this pair's artifact."""
+    def wait_pair(
+        self,
+        a: str,
+        b: str,
+        timeout: float = 3600,
+        poll: float = 0.2,
+        failover=None,
+        failover_after: float = 300.0,
+    ):
+        """Block until another host publishes this pair's artifact.
+
+        With a ``failover`` callback, a pair whose owner stays silent for
+        ``failover_after`` seconds is RE-OWNED: this host computes it,
+        publishes the result, and continues (the reference only retried
+        locally, local_interface.ml:8-35 — a dead owner stalled the run).
+        Duplicate publication is benign: writers use unique tmp names and
+        an atomic rename, so the winner's artifact is always complete.
+        """
         path = self._pair_path(self.pair_key(a, b))
         deadline = time.time() + timeout
+        fail_at = (time.time() + failover_after) if failover is not None else None
         while not os.path.exists(path):
+            if fail_at is not None and time.time() > fail_at:
+                import logging
+
+                logging.getLogger("paramugsy.artifacts").warning(
+                    "owner silent for %.0fs; re-owning pair %s~%s",
+                    failover_after, a, b,
+                )
+                entries = failover()
+                self.save_pair(a, b, entries)
+                return entries
             if time.time() > deadline:
                 raise TimeoutError(f"timed out waiting for pair artifact {path}")
             time.sleep(poll)

@@ -47,6 +47,7 @@ class JobExecutor:
         store=None,  # runtime.artifacts.ArtifactStore
         ownership=None,  # runtime.artifacts.PairOwnership
         retries: int = 1,  # pair-task attempts (local_interface.ml retry role)
+        failover_after: float = 300.0,  # re-own a silent owner's pair after this
     ):
         self.cfg = cfg or PipelineConfig()
         self.genomes = {g.name: g for g in genomes}
@@ -60,6 +61,7 @@ class JobExecutor:
         self.store = store
         self.ownership = ownership
         self.retries = max(1, retries)
+        self.failover_after = failover_after
 
     def _next_uid(self) -> str:
         self._uid += 1
@@ -79,16 +81,25 @@ class JobExecutor:
                 return self.store.load_pair(a, b)
             if self.ownership is not None and not self.ownership.owns(a, b):
                 self._on_task("nucmer-wait", f"{a}~{b}")
-                return self.store.wait_pair(a, b)
+                return self.store.wait_pair(
+                    a, b,
+                    failover=lambda: self._compute_pair(a, b),
+                    failover_after=self.failover_after,
+                )
         self._on_task("nucmer", f"{a}~{b}")
-        with METRICS.phase("pairwise", items=1):
-            deltas = genome_pair_deltas(
-                self.genomes[a], self.genomes[b], self.cfg.align,
-                self._device_cache,
-            )
+        deltas = self._compute_pair(a, b)
         if self.store is not None:
             self.store.save_pair(a, b, deltas)
         return deltas
+
+    def _compute_pair(self, a: str, b: str):
+        from paramugsy_tpu.utils.obs import METRICS
+
+        with METRICS.phase("pairwise", items=1):
+            return genome_pair_deltas(
+                self.genomes[a], self.genomes[b], self.cfg.align,
+                self._device_cache,
+            )
 
     def _pair_chunk_task(self, pairs: list[tuple[str, str]]):
         """One chunk = ONE device dispatch for every uncached pair.
@@ -267,6 +278,7 @@ def align_fastas_concurrent(
     tmp_dir: str | None = None,
     process_index: int = 0,
     process_count: int = 1,
+    failover_after: float = 300.0,
 ) -> list[MafBlock]:
     """Concurrent version of pipeline.align_fastas.
 
@@ -291,7 +303,7 @@ def align_fastas_concurrent(
         raise ValueError("multi-host runs require a shared tmp_dir store")
     ex = JobExecutor(
         genomes, cfg, run_size=run_size, chunk_size=chunk_size,
-        store=store, ownership=ownership,
+        store=store, ownership=ownership, failover_after=failover_after,
     )
     from paramugsy_tpu.pipeline import finalize_blocks, gather_dup_blocks
 
