@@ -36,6 +36,7 @@ def main():
     ap.add_argument("-n", type=int, default=8, help="genome count")
     ap.add_argument("-size", type=int, default=200_000, help="genome bp")
     ap.add_argument("-j", type=int, default=4, help="run_size (slots)")
+    ap.add_argument("-chunk", type=int, default=8, help="pairs per device dispatch")
     args = ap.parse_args()
 
     genomes = build_genomes(args.n, args.size)
@@ -44,12 +45,12 @@ def main():
     n_pairs = len(tree.all_pairwise())
 
     # Warm-up on a small subset to absorb compiles for this bucket.
-    JobExecutor(genomes[:2], cfg, run_size=args.j).execute(
+    JobExecutor(genomes[:2], cfg, run_size=args.j, chunk_size=args.chunk).execute(
         Aligner(genomes[:2], cfg).job_tree()
     )
 
     t0 = time.perf_counter()
-    blocks = JobExecutor(genomes, cfg, run_size=args.j).execute(tree)
+    blocks = JobExecutor(genomes, cfg, run_size=args.j, chunk_size=args.chunk).execute(tree)
     dt = time.perf_counter() - t0
     faults = find_faults(blocks)
     print(json.dumps({
@@ -61,6 +62,7 @@ def main():
             "genome_bp": args.size,
             "pairs": n_pairs,
             "wall_s": round(dt, 2),
+            "chunk": args.chunk,
             "blocks": len(blocks),
             "coverage_faults": len(faults),
         },

@@ -138,6 +138,46 @@ int pm_nw_align_batch(const int8_t* a, const int32_t* a_len,
 
 int pm_version() { return 2; }
 
+// Exact O(C^2) cluster-chaining DP (the host tail of the mgaps role).
+// Inputs are cluster summaries sorted by (rstart, qstart); semantics are
+// identical to ops/chaining.chain_clusters's NumPy loop: predecessor j of
+// i must precede it on both axes, with gaps <= max_join_gap and diagonal
+// drift <= max_join_diagdiff; link score = score[j] - drift, taken only
+// when positive (first argmax wins ties, matching np.argmax).
+void pm_chain_clusters(const int64_t* rs, const int64_t* re,
+                       const int64_t* qs, const int64_t* qe,
+                       const int64_t* w, int32_t C,
+                       int64_t max_join_gap, int64_t max_join_diagdiff,
+                       int64_t* score, int64_t* parent) {
+  for (int32_t i = 0; i < C; ++i) {
+    score[i] = w[i];
+    parent[i] = -1;
+  }
+  for (int32_t i = 1; i < C; ++i) {
+    int64_t best = -1;
+    int32_t best_j = -1;
+    for (int32_t j = 0; j < i; ++j) {
+      if (re[j] >= rs[i] || qe[j] >= qs[i]) continue;
+      int64_t gap_r = rs[i] - re[j];
+      int64_t gap_q = qs[i] - qe[j];
+      int64_t g = gap_r > gap_q ? gap_r : gap_q;
+      if (g > max_join_gap) continue;
+      int64_t dd = gap_r - gap_q;
+      if (dd < 0) dd = -dd;
+      if (dd > max_join_diagdiff) continue;
+      int64_t cand = score[j] - dd;
+      if (cand > best) {
+        best = cand;
+        best_j = j;
+      }
+    }
+    if (best_j >= 0 && best > 0) {
+      score[i] = w[i] + best;
+      parent[i] = best_j;
+    }
+  }
+}
+
 // Traceback over the TPU wavefront kernel's packed direction buffer.
 //   dirs:   [steps16, batch, width] int32; step d (1-based) of pair p lane
 //           w is bits 2*((d-1)%16) of dirs[(d-1)/16][p][w].

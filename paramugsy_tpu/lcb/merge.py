@@ -171,6 +171,121 @@ def select_consistent(
     return kept, occ
 
 
+def _fuse_pair(
+    a: DeltaEntry,
+    b: DeltaEntry,
+    gap_rg: list[Range],
+    gap_qg: list[Range],
+    gap_cols: int,
+    gap_r: int,
+    gap_q: int,
+) -> DeltaEntry:
+    """Concatenate two collinear entries plus the aligned gap between them."""
+    import dataclasses
+
+    a_cols = a.alignment_length()
+    off_b = a_cols + gap_cols
+    ref_gaps = (
+        list(a.ref_gaps)
+        + [Range(g.start + a_cols, g.end + a_cols) for g in gap_rg]
+        + [Range(g.start + off_b, g.end + off_b) for g in b.ref_gaps]
+    )
+    query_gaps = (
+        list(a.query_gaps)
+        + [Range(g.start + a_cols, g.end + a_cols) for g in gap_qg]
+        + [Range(g.start + off_b, g.end + off_b) for g in b.query_gaps]
+    )
+    return dataclasses.replace(
+        a,
+        ref_range=Range(a.ref_range.start, b.ref_range.end),
+        query_range=Range(a.query_range.start, b.query_range.end),
+        ref_gaps=ref_gaps,
+        query_gaps=query_gaps,
+    )
+
+
+def bridge_adjacent(
+    kept: list[DeltaEntry],
+    occ: _Occupancy,
+    lcons: dict[str, str],
+    rcons: dict[str, str],
+    max_gap: int = 1000,
+) -> list[DeltaEntry]:
+    """Fuse kept collinear neighbours by aligning the gap between them.
+
+    The anti-fragmentation half of the mugsyWGA chaining role: selection
+    keeps collinear runs whole (`select_consistent`), and this pass turns
+    each run into ONE alignment by gap-aligning the short unclaimed spans
+    between members against the consensus texts — fewer, longer LCBs and
+    more aligned (core) columns instead of unique-region fill.
+    """
+    import numpy as np
+
+    from paramugsy_tpu.ops.encode import encode, revcomp_codes_np
+    from paramugsy_tpu.ops.extend import align_segments
+
+    by_key: dict[tuple, list[DeltaEntry]] = {}
+    for e in kept:
+        key = (e.ref_name, e.query_name, e.query_range.is_forward)
+        by_key.setdefault(key, []).append(e)
+    out: list[DeltaEntry] = []
+    # Collect gap-alignment requests first so the DP runs as ONE batch.
+    plans = []  # (group, [(gap index, seg index, gap_r, gap_q)])
+    seg_reqs: list[tuple[np.ndarray, np.ndarray]] = []
+
+    for (rn, qn, forward), group in by_key.items():
+        rtext = lcons.get(rn)
+        qtext = rcons.get(qn)
+        group.sort(key=lambda e: e.ref_range.abs().start)
+        if rtext is None or qtext is None or not group[0].ref_range.is_forward:
+            out.extend(group)
+            continue
+        fuses = []
+        for i in range(len(group) - 1):
+            a, b = group[i], group[i + 1]
+            gr0, gr1 = a.ref_range.end + 1, b.ref_range.start - 1
+            gap_r = gr1 - gr0 + 1
+            if forward:
+                gq0, gq1 = a.query_range.end + 1, b.query_range.start - 1
+            else:
+                gq0, gq1 = b.query_range.start + 1, a.query_range.end - 1
+            gap_q = gq1 - gq0 + 1
+            if not (0 <= gap_r <= max_gap and 0 <= gap_q <= max_gap):
+                continue
+            if gap_r and not occ.free(rn, Range(gr0, gr1)):
+                continue
+            if gap_q and not occ.free(qn, Range(gq0, gq1)):
+                continue
+            if gap_r:
+                occ.claim(rn, Range(gr0, gr1))
+            if gap_q:
+                occ.claim(qn, Range(gq0, gq1))
+            r_codes = encode(rtext[gr0 - 1 : gr1])
+            q_codes = encode(qtext[gq0 - 1 : gq1])
+            if not forward:
+                q_codes = revcomp_codes_np(q_codes)
+            fuses.append((i, len(seg_reqs), gap_r, gap_q))
+            seg_reqs.append((r_codes, q_codes))
+        plans.append((group, fuses))
+    seg_results = align_segments(seg_reqs)
+    for group, fuses in plans:
+        fused: list[DeltaEntry] = []
+        cur = group[0]
+        by_i = {i: (t, gr, gq) for i, t, gr, gq in fuses}
+        for i in range(1, len(group)):
+            plan = by_i.get(i - 1)
+            if plan is not None:
+                t, gap_r, gap_q = plan
+                rg, qg, ncols = seg_results[t]
+                cur = _fuse_pair(cur, group[i], rg, qg, ncols, gap_r, gap_q)
+            else:
+                fused.append(cur)
+                cur = group[i]
+        fused.append(cur)
+        out.extend(fused)
+    return out
+
+
 def merge_blocks(
     left_blocks: Sequence[MafBlock],
     right_blocks: Sequence[MafBlock],
@@ -192,6 +307,7 @@ def merge_blocks(
     kept, occ = select_consistent(
         translated, min_length=min_length, chain_gap=chain_gap
     )
+    kept = bridge_adjacent(kept, occ, lcons, rcons, max_gap=chain_gap)
 
     out = list(delta_to_maf_blocks(kept, lcons, rcons))
 

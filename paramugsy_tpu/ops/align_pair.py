@@ -60,6 +60,21 @@ class RawChain:
     reverse: bool
 
 
+def initial_max_seeds(cfg: AlignConfig, n_ref: int, n_q: int) -> int:
+    """Seed-bucket start size, adapted to the pair's bucket.
+
+    The packed result transfer is dominated by the 4 per-seed arrays x 2
+    strands, so the bucket should track expected seed counts (~1 merged
+    run per 100 bp at bacterial divergence) rather than pay the 2 Mbp
+    worst case on every 100 kb pair.  Overflow auto-retries with a
+    doubled bucket, so this bounds transfer, not correctness.
+    """
+    from paramugsy_tpu.ops.encode import bucket_size
+
+    bucket = max(bucket_size(n_ref), bucket_size(n_q))
+    return int(min(cfg.max_seeds, max(4096, bucket >> 6)))
+
+
 def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
     """Seeds for both strands (one sort-join) -> chains per strand.
 
@@ -73,7 +88,7 @@ def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
         unpack_seed_clusters,
     )
 
-    max_seeds = cfg.max_seeds
+    max_seeds = initial_max_seeds(cfg, ref_codes.shape[0], q_codes.shape[0])
     while True:
         packed = seed_cluster_both_packed(
             ref_codes,
@@ -385,17 +400,30 @@ def align_pairs_batch(
         if len(idxs) == 1:
             singles.extend(idxs)
             continue
+        # Pad the batch axis to a power of two: every distinct batch size
+        # is a fresh XLA compile of the (large) seeding graph, so dispatch
+        # shapes must come from a tiny fixed set.  Pad rows are all-N
+        # sequences (no valid k-mers -> zero seeds, negligible compute).
+        B = len(idxs)
+        B_pad = 1 << (B - 1).bit_length()
+        pad_ref = jnp.full((rb,), 4, jnp.int8)
+        pad_query = jnp.full((qb,), 4, jnp.int8)
         refs = jnp.stack(
             [device_codes(enc[i][0], device_cache, enc[i][2]) for i in idxs]
+            + [pad_ref] * (B_pad - B)
         )
         queries = jnp.stack(
             [device_codes(enc[i][1], device_cache, enc[i][3]) for i in idxs]
+            + [pad_query] * (B_pad - B)
         )
-        q_lens = jnp.asarray([len(enc[i][1]) for i in idxs], jnp.int32)
+        q_lens = jnp.asarray(
+            [len(enc[i][1]) for i in idxs] + [0] * (B_pad - B), jnp.int32
+        )
+        max_seeds = initial_max_seeds(cfg, rb, qb)
         packed = np.asarray(
             seed_cluster_both_packed_batch(
                 refs, queries, q_lens,
-                k=cfg.k, max_seeds=cfg.max_seeds,
+                k=cfg.k, max_seeds=max_seeds,
                 unique_in_query=cfg.unique_in_query,
                 min_match=cfg.min_match, band=cfg.band,
                 max_gap=cfg.max_gap, max_clusters=cfg.max_clusters,
@@ -403,7 +431,7 @@ def align_pairs_batch(
         )
         for row, i in zip(packed, idxs):
             _, n_runs, strands = unpack_seed_clusters(
-                row, cfg.max_seeds, cfg.max_clusters
+                row, max_seeds, cfg.max_clusters
             )
             if n_runs > len(strands[0].seed_rpos):
                 singles.append(i)  # seed overflow: single-pair retry path
@@ -501,6 +529,7 @@ def align_self(
     seq: str | np.ndarray,
     name: str = "ref",
     cfg: AlignConfig | None = None,
+    device_cache: dict | None = None,
 ) -> list[DeltaEntry]:
     """Genome-vs-self repeat alignment (the duplication-detection role).
 
@@ -523,7 +552,7 @@ def align_self(
         unpack_seed_clusters,
     )
 
-    ref_d = device_codes(ref_np)
+    ref_d = device_codes(ref_np, device_cache, name)
     ref_rc_np = revcomp_codes_np(ref_np)
 
     max_seeds = cfg.max_seeds
@@ -579,10 +608,14 @@ def _align_self_windowed(
     n = len(ref_np)
     sub = dataclasses.replace(cfg, window=1 << 62, post_filter=None)
     wins = _windows(n, cfg)
+    # One cache for BOTH the self and cross-window alignments: window
+    # slices key by (name@offset, length), so each uploads once.
     cache: dict = {}
     entries: list[DeltaEntry] = []
     for i, (rw0, rw1, rc0, rc1) in enumerate(wins):
-        for e in align_self(ref_np[rw0:rw1], name, sub):
+        for e in align_self(
+            ref_np[rw0:rw1], f"{name}@w{rw0}", sub, device_cache=cache
+        ):
             rm = rw0 + (e.ref_range.abs().start + e.ref_range.abs().end) // 2
             qm = rw0 + (e.query_range.abs().start + e.query_range.abs().end) // 2
             if not (rc0 < rm <= rc1 and rc0 < qm <= rc1):

@@ -158,30 +158,38 @@ def chain_clusters(
         return []
     order = np.lexsort((c_qstart, c_rstart))
     rs, re_, qs, qe, w = (
-        c_rstart[order],
-        c_rend[order],
-        c_qstart[order],
-        c_qend[order],
-        c_weight[order],
+        c_rstart[order].astype(np.int64),
+        c_rend[order].astype(np.int64),
+        c_qstart[order].astype(np.int64),
+        c_qend[order].astype(np.int64),
+        c_weight[order].astype(np.int64),
     )
-    score = w.astype(np.int64).copy()
-    parent = np.full(C, -1, dtype=np.int64)
-    for i in range(1, C):
-        gap_r = rs[i] - re_[:i]
-        gap_q = qs[i] - qe[:i]
-        dd = np.abs(gap_r - gap_q)
-        valid = (
-            (re_[:i] < rs[i])
-            & (qe[:i] < qs[i])
-            & (np.maximum(gap_r, gap_q) <= max_join_gap)
-            & (dd <= max_join_diagdiff)
-        )
-        if valid.any():
-            cand = np.where(valid, score[:i] - dd, np.int64(-(10**12)))
-            j = int(np.argmax(cand))
-            if cand[j] > 0:
-                score[i] = w[i] + cand[j]
-                parent[i] = j
+    from paramugsy_tpu.ops.native import chain_clusters_native
+
+    nat = chain_clusters_native(
+        rs, re_, qs, qe, w, max_join_gap, max_join_diagdiff
+    )
+    if nat is not None:
+        score, parent = nat
+    else:
+        score = w.copy()
+        parent = np.full(C, -1, dtype=np.int64)
+        for i in range(1, C):
+            gap_r = rs[i] - re_[:i]
+            gap_q = qs[i] - qe[:i]
+            dd = np.abs(gap_r - gap_q)
+            valid = (
+                (re_[:i] < rs[i])
+                & (qe[:i] < qs[i])
+                & (np.maximum(gap_r, gap_q) <= max_join_gap)
+                & (dd <= max_join_diagdiff)
+            )
+            if valid.any():
+                cand = np.where(valid, score[:i] - dd, np.int64(-(10**12)))
+                j = int(np.argmax(cand))
+                if cand[j] > 0:
+                    score[i] = w[i] + cand[j]
+                    parent[i] = j
 
     used = np.zeros(C, dtype=bool)
     chains: list[list[int]] = []

@@ -151,6 +151,44 @@ def banded_align_native(
     return ref_runs, query_runs, int(n)
 
 
+def chain_clusters_native(
+    rs: np.ndarray,
+    re_: np.ndarray,
+    qs: np.ndarray,
+    qe: np.ndarray,
+    w: np.ndarray,
+    max_join_gap: int,
+    max_join_diagdiff: int,
+):
+    """Exact O(C^2) chaining DP in C; returns (score, parent) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_chain_configured"):
+        lib.pm_chain_clusters.restype = None
+        lib.pm_chain_clusters.argtypes = [
+            ctypes.POINTER(ctypes.c_int64)] * 5 + [
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._chain_configured = True
+    C = len(rs)
+    rs = np.ascontiguousarray(rs, dtype=np.int64)
+    re_ = np.ascontiguousarray(re_, dtype=np.int64)
+    qs = np.ascontiguousarray(qs, dtype=np.int64)
+    qe = np.ascontiguousarray(qe, dtype=np.int64)
+    w = np.ascontiguousarray(w, dtype=np.int64)
+    score = np.zeros(C, dtype=np.int64)
+    parent = np.zeros(C, dtype=np.int64)
+    lib.pm_chain_clusters(
+        _ptr(rs, ctypes.c_int64), _ptr(re_, ctypes.c_int64),
+        _ptr(qs, ctypes.c_int64), _ptr(qe, ctypes.c_int64),
+        _ptr(w, ctypes.c_int64), C, max_join_gap, max_join_diagdiff,
+        _ptr(score, ctypes.c_int64), _ptr(parent, ctypes.c_int64),
+    )
+    return score, parent
+
+
 def wavefront_traceback_native(
     dirs_packed: np.ndarray,
     a_lens: np.ndarray,

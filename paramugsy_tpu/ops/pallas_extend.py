@@ -1055,7 +1055,12 @@ def wavefront_align_many(
                 jnp.asarray(Awin),
                 jnp.asarray(Bwin),
             )
-            if device_tb and bucket <= DEVICE_TB_MAX_STEPS:
+            # Device traceback window DMAs slice steps16 in win_rows=8
+            # blocks (or the full dim when smaller): steps16 must be a
+            # multiple of 8 or < 8, else the top rows are unreachable.
+            s16 = bucket // 16
+            tb_ok = s16 < 8 or s16 % 8 == 0
+            if device_tb and tb_ok and bucket <= DEVICE_TB_MAX_STEPS:
                 lens = np.zeros((n_b, 2), dtype=np.int32)
                 for p, (a, b) in enumerate(pairs):
                     lens[p] = (len(a), len(b))

@@ -98,9 +98,12 @@ def sharded_genome_pair_deltas(
             refs[row, : len(ref_np)] = ref_np
             queries[row, : len(query_np)] = query_np
             q_lens[row] = len(query_np)
+        from paramugsy_tpu.ops.align_pair import initial_max_seeds
+
+        max_seeds = initial_max_seeds(cfg, rb, qb)
         step = make_sharded_packed_pair_step(
             mesh,
-            k=cfg.k, max_seeds=cfg.max_seeds,
+            k=cfg.k, max_seeds=max_seeds,
             unique_in_query=cfg.unique_in_query,
             min_match=cfg.min_match, band=cfg.band,
             max_gap=cfg.max_gap, max_clusters=cfg.max_clusters,
@@ -115,7 +118,7 @@ def sharded_genome_pair_deltas(
         )
         for row, i in enumerate(batched):
             _, n_runs, strands = unpack_seed_clusters(
-                packed[row], cfg.max_seeds, cfg.max_clusters
+                packed[row], max_seeds, cfg.max_clusters
             )
             if n_runs > len(strands[0].seed_rpos):
                 singles.append(i)  # overflow: local retry path

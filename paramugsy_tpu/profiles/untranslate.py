@@ -63,7 +63,13 @@ def untranslate_row(p: Profile, overlap: Range, template: str) -> MafSequence | 
     else:
         real_range = sub.range.reverse()
         direction = p.range.reverse().direction
-    if real_range.is_forward:
+    # Branch on `direction`, NOT real_range.is_forward: a 1-bp interval
+    # collapses to "forward" in the direction-carrying Range (start ==
+    # end), and the forward arithmetic would mirror its MAF start to
+    # src_size+1-x (found as paired Gap/Overlap coverage faults).
+    from paramugsy_tpu.coords.range import FORWARD
+
+    if direction == FORWARD:
         start, size = real_range.start - 1, real_range.length
     else:
         start, size = p.src_size - real_range.start, real_range.length

@@ -330,6 +330,36 @@ class TestEngineSelection:
         assert "numpy-banded" not in engines.COUNTS
 
 
+    def test_native_chaining_matches_numpy(self, monkeypatch):
+        """The C++ chain DP is bit-equal to the NumPy reference loop."""
+        from paramugsy_tpu.ops import native
+        from paramugsy_tpu.ops.chaining import chain_clusters
+
+        if native.load() is None:
+            import pytest
+
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(3)
+        for _ in range(15):
+            C = int(rng.integers(1, 150))
+            rs = np.sort(rng.integers(0, 5000, C))
+            ln = rng.integers(20, 300, C)
+            re_ = rs + ln
+            qs = rs + rng.integers(-50, 50, C)
+            qe = qs + ln
+            w = ln.copy()
+            got = chain_clusters(
+                rs, re_, qs, qe, w, max_join_gap=200, min_chain_weight=65
+            )
+            monkeypatch.setattr(native, "_lib", None)
+            monkeypatch.setattr(native, "_tried", True)
+            want = chain_clusters(
+                rs, re_, qs, qe, w, max_join_gap=200, min_chain_weight=65
+            )
+            monkeypatch.undo()
+            assert got == want
+
+
 class TestLongSegments:
     def test_long_segment_banded_fallback(self):
         from paramugsy_tpu.ops.extend import align_segments

@@ -334,6 +334,87 @@ def pairwise_delta(present, chars, i, j, names):
     )
 
 
+class TestOneBpReverseUntranslate:
+    def test_single_base_reverse_row_keeps_strand(self):
+        """A 1-bp interval of a reverse profile row must untranslate to
+        the true genome position, not its mirror: Range(x, x) collapses
+        to 'forward', and branching the MAF arithmetic on it produced
+        paired Gap/Overlap coverage faults (fixed in untranslate_row)."""
+        from paramugsy_tpu.coords.profile import Profile
+        from paramugsy_tpu.coords.range import REVERSE, Range as R
+        from paramugsy_tpu.formats.maf import MafBlock, MafSequence
+        from paramugsy_tpu.profiles.untranslate import untranslate_blocks
+
+        # Reverse row: genome g.chr [61..80] stored reversed in a 20-col
+        # pseudo-sequence 'ps.ps_0000'.
+        p = Profile(
+            name=("ps.ps_0000", "g.chr_0"), seq_name="g.chr",
+            range=R(80, 61), length=20, gaps=[], src_size=150,
+            text="ACGTACGTACGTACGTACGT",
+        )
+        # A 1-bp block over pseudo-seq column 5 (1-indexed).
+        blk = MafBlock(
+            seqs=[MafSequence(
+                name="ps.ps_0000", start=4, size=1, strand=1,
+                src_size=20, text="A",
+            )],
+            score=0, attrs={},
+        )
+        (out,) = untranslate_blocks([p], [blk])
+        (row,) = out.seqs
+        # Column 5 of the reversed row = genome position 80 - 4 = 76.
+        # Reverse-strand MAF start = src_size - pos = 150 - 76 = 74.
+        assert row.strand == REVERSE
+        assert (row.start, row.size) == (74, 1)
+
+
+class TestBridgeAdjacent:
+    def test_fused_entries_reduce_blocks(self):
+        """Collinear kept neighbours fuse across small gaps: fewer
+        blocks, aligned gap columns instead of unique fill."""
+        import numpy as np
+
+        from paramugsy_tpu.formats.delta import DeltaEntry
+        from paramugsy_tpu.lcb.merge import _Occupancy, bridge_adjacent
+        from paramugsy_tpu.coords.range import Range as R
+
+        rng = np.random.default_rng(8)
+        rtext = "".join(np.array(list("ACGT"))[rng.integers(4, size=300)])
+        qtext = rtext  # identical: the gap aligns perfectly
+        a = DeltaEntry("L", "Q", 300, 300, R(1, 100), R(1, 100), [], [])
+        b = DeltaEntry("L", "Q", 300, 300, R(121, 250), R(121, 250), [], [])
+        occ = _Occupancy()
+        for e in (a, b):
+            occ.claim("L", e.ref_range)
+            occ.claim("Q", e.query_range)
+        out = bridge_adjacent([a, b], occ, {"L": rtext}, {"Q": qtext})
+        assert len(out) == 1
+        (f,) = out
+        assert f.ref_range == R(1, 250) and f.query_range == R(1, 250)
+        assert f.ref_gaps == [] and f.query_gaps == []
+        assert f.alignment_length() == 250
+        # gap spans are now claimed
+        assert not occ.free("L", R(101, 120))
+        assert not occ.free("Q", R(101, 120))
+
+    def test_blocked_gap_not_fused(self):
+        from paramugsy_tpu.formats.delta import DeltaEntry
+        from paramugsy_tpu.lcb.merge import _Occupancy, bridge_adjacent
+        from paramugsy_tpu.coords.range import Range as R
+
+        a = DeltaEntry("L", "Q", 300, 300, R(1, 100), R(1, 100), [], [])
+        b = DeltaEntry("L", "Q", 300, 300, R(121, 250), R(121, 250), [], [])
+        occ = _Occupancy()
+        for e in (a, b):
+            occ.claim("L", e.ref_range)
+            occ.claim("Q", e.query_range)
+        occ.claim("L", R(110, 110))  # someone else owns part of the gap
+        out = bridge_adjacent(
+            [a, b], occ, {"L": "A" * 300}, {"Q": "A" * 300}
+        )
+        assert len(out) == 2
+
+
 class TestEndToEndMerge:
     @pytest.mark.parametrize("seed", range(5))
     def test_merge_round_trip(self, seed, tmp_path):
