@@ -44,10 +44,9 @@ def main():
     tree = Aligner(genomes, cfg).job_tree()
     n_pairs = len(tree.all_pairwise())
 
-    # Warm-up on a small subset to absorb compiles for this bucket.
-    JobExecutor(genomes[:2], cfg, run_size=args.j, chunk_size=args.chunk).execute(
-        Aligner(genomes[:2], cfg).job_tree()
-    )
+    # Warm-up: a FULL untimed run absorbs compiles, in-process traces and
+    # persistent-cache loads for every shape the timed run touches.
+    JobExecutor(genomes, cfg, run_size=args.j, chunk_size=args.chunk).execute(tree)
 
     t0 = time.perf_counter()
     blocks = JobExecutor(genomes, cfg, run_size=args.j, chunk_size=args.chunk).execute(tree)

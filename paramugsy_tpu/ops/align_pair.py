@@ -132,9 +132,21 @@ def _chains_of_strands(strands, cfg: AlignConfig) -> list["RawChain"]:
         )
         s_rpos, s_qpos = cl.seed_rpos, cl.seed_qpos
         s_len, s_cid = cl.seed_len, cl.seed_cluster
+        # One sort by cluster id; per chain, gather members by binary
+        # search (the previous per-chain np.isin scanned every seed for
+        # every chain — the hottest host loop at bacterial pair counts).
+        order_c = np.argsort(s_cid, kind="stable")
+        sc_sorted = s_cid[order_c]
         for chain in chains_ids:
-            cids = {int(idx[c]) for c in chain}
-            sel = np.isin(s_cid, list(cids))
+            cids = np.fromiter(
+                (int(idx[c]) for c in chain), dtype=sc_sorted.dtype,
+                count=len(chain),
+            )
+            lo = np.searchsorted(sc_sorted, cids, "left")
+            hi = np.searchsorted(sc_sorted, cids, "right")
+            sel = np.concatenate(
+                [order_c[a:b] for a, b in zip(lo, hi)]
+            ) if len(cids) else np.empty(0, np.int64)
             rp, qp, ln = s_rpos[sel], s_qpos[sel], s_len[sel]
             order = np.lexsort((rp, qp))
             rows = _trim_monotone(rp[order], qp[order], ln[order])
@@ -487,36 +499,48 @@ def _align_pair_windowed(
     # the full entry set).
     sub = dataclasses.replace(cfg, window=1 << 62, post_filter=None)
     # Window slices are keyed by their offset so each uploads once even
-    # though it participates in many window pairs.
+    # though it participates in many window pairs.  The window-pair grid
+    # itself batches through align_pairs_batch: the sequence axis rides
+    # the same one-dispatch-per-chunk economics as the pair axis (P7 via
+    # P1; SURVEY section 5.7).
     cache = device_cache if device_cache is not None else {}
-    entries: list[DeltaEntry] = []
-    for rw0, rw1, rc0, rc1 in _windows(n_r, cfg):
-        for qw0, qw1, qc0, qc1 in _windows(n_q, cfg):
-            for e in align_pair(
-                ref_np[rw0:rw1], query_np[qw0:qw1],
-                f"{ref_name}@w{rw0}", f"{query_name}@w{qw0}", sub,
-                device_cache=cache,
-            ):
-                rm = rw0 + (e.ref_range.abs().start + e.ref_range.abs().end) // 2
-                qm = qw0 + (e.query_range.abs().start + e.query_range.abs().end) // 2
-                # cores are 0-based [c0, c1); midpoints are 1-indexed
-                if not (rc0 < rm <= rc1 and qc0 < qm <= qc1):
-                    continue
-                entries.append(
-                    dataclasses.replace(
-                        e,
-                        ref_name=ref_name,
-                        query_name=query_name,
-                        ref_len=n_r,
-                        query_len=n_q,
-                        ref_range=Range(
-                            e.ref_range.start + rw0, e.ref_range.end + rw0
-                        ),
-                        query_range=Range(
-                            e.query_range.start + qw0, e.query_range.end + qw0
-                        ),
-                    )
+    r_wins = _windows(n_r, cfg)
+    q_wins = _windows(n_q, cfg)
+    jobs = []
+    meta = []
+    for rw0, rw1, rc0, rc1 in r_wins:
+        for qw0, qw1, qc0, qc1 in q_wins:
+            jobs.append(
+                (
+                    ref_np[rw0:rw1], query_np[qw0:qw1],
+                    f"{ref_name}@w{rw0}", f"{query_name}@w{qw0}",
                 )
+            )
+            meta.append((rw0, rc0, rc1, qw0, qc0, qc1))
+    per_job = align_pairs_batch(jobs, sub, cache)
+    entries: list[DeltaEntry] = []
+    for (rw0, rc0, rc1, qw0, qc0, qc1), got in zip(meta, per_job):
+        for e in got:
+            rm = rw0 + (e.ref_range.abs().start + e.ref_range.abs().end) // 2
+            qm = qw0 + (e.query_range.abs().start + e.query_range.abs().end) // 2
+            # cores are 0-based [c0, c1); midpoints are 1-indexed
+            if not (rc0 < rm <= rc1 and qc0 < qm <= qc1):
+                continue
+            entries.append(
+                dataclasses.replace(
+                    e,
+                    ref_name=ref_name,
+                    query_name=query_name,
+                    ref_len=n_r,
+                    query_len=n_q,
+                    ref_range=Range(
+                        e.ref_range.start + rw0, e.ref_range.end + rw0
+                    ),
+                    query_range=Range(
+                        e.query_range.start + qw0, e.query_range.end + qw0
+                    ),
+                )
+            )
     entries.sort(key=lambda e: (e.ref_range.abs().start, e.ref_range.abs().end))
     if cfg.post_filter == "one_to_one":
         entries = filter_one_to_one(entries)
