@@ -49,7 +49,7 @@ def _align_main(argv: list[str]) -> int:
         "(mugsy_mugsy -dup_list role)",
     )
     ap.add_argument("-run_size", type=int, default=4, help="concurrent task slots")
-    ap.add_argument("-nucmer_chunk_size", type=int, default=4)
+    ap.add_argument("-nucmer_chunk_size", type=int, default=16)
     ap.add_argument("-sequential", action="store_true", help="single-threaded run")
     ap.add_argument(
         "-tmp_dir", help="artifact store: per-node/pair outputs, enables resume"

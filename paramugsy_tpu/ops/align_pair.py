@@ -130,23 +130,25 @@ def _chains_of_strands(strands, cfg: AlignConfig) -> list["RawChain"]:
             max_join_gap=cfg.break_len,
             min_chain_weight=cfg.min_cluster,
         )
-        s_rpos, s_qpos = cl.seed_rpos, cl.seed_qpos
-        s_len, s_cid = cl.seed_len, cl.seed_cluster
-        # One sort by cluster id; per chain, gather members by binary
-        # search (the previous per-chain np.isin scanned every seed for
-        # every chain — the hottest host loop at bacterial pair counts).
-        order_c = np.argsort(s_cid, kind="stable")
-        sc_sorted = s_cid[order_c]
+        s_rpos, s_qpos, s_len = cl.seed_rpos, cl.seed_qpos, cl.seed_len
+        # Clusters are contiguous runs of the sorted seed order: member
+        # seeds of cluster k are indices [c_first[k], c_first[k] +
+        # c_nseeds[k]) — no per-seed cluster-id array needed.
+        first, nseeds = cl.c_first, cl.c_nseeds
         for chain in chains_ids:
-            cids = np.fromiter(
-                (int(idx[c]) for c in chain), dtype=sc_sorted.dtype,
-                count=len(chain),
+            sel = (
+                np.concatenate(
+                    [
+                        np.arange(
+                            int(first[idx[c]]),
+                            int(first[idx[c]]) + int(nseeds[idx[c]]),
+                        )
+                        for c in chain
+                    ]
+                )
+                if chain
+                else np.empty(0, np.int64)
             )
-            lo = np.searchsorted(sc_sorted, cids, "left")
-            hi = np.searchsorted(sc_sorted, cids, "right")
-            sel = np.concatenate(
-                [order_c[a:b] for a, b in zip(lo, hi)]
-            ) if len(cids) else np.empty(0, np.int64)
             rp, qp, ln = s_rpos[sel], s_qpos[sel], s_len[sel]
             order = np.lexsort((rp, qp))
             rows = _trim_monotone(rp[order], qp[order], ln[order])

@@ -45,6 +45,7 @@ class Clusters(NamedTuple):
     c_qend: jnp.ndarray
     c_weight: jnp.ndarray  # total matched bases
     c_nseeds: jnp.ndarray
+    c_first: jnp.ndarray  # index of the cluster's first seed (sorted order)
     c_mask: jnp.ndarray
     n_clusters: jnp.ndarray
 
@@ -110,8 +111,9 @@ def cluster_seeds(
 
     # Compact summaries to [max_clusters] by sorting (is_end desc, idx asc).
     key = jnp.where(is_end, 0, 1).astype(jnp.int32)
-    _, o_rs, o_re, o_qs, o_qe, o_w, o_n, o_mask = lax.sort(
-        (key, rstart, rend, qstart, qend, w, nseeds, is_end.astype(jnp.int32)),
+    _, o_rs, o_re, o_qs, o_qe, o_w, o_n, o_first, o_mask = lax.sort(
+        (key, rstart, rend, qstart, qend, w, nseeds,
+         jnp.maximum(start_idx, 0), is_end.astype(jnp.int32)),
         num_keys=1,
         is_stable=True,
     )
@@ -131,6 +133,7 @@ def cluster_seeds(
         c_qend=cut(o_qe),
         c_weight=cut(o_w),
         c_nseeds=cut(o_n),
+        c_first=cut(o_first),
         c_mask=cut(o_mask) == 1,
         n_clusters=jnp.sum(is_end.astype(jnp.int32)),
     )

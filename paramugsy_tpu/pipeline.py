@@ -62,6 +62,9 @@ class PipelineConfig:
     emit_unique: bool = True  # False = the reference's -skipunique
     refine: bool = False  # mugsyWGA --refine role: per-block MSA polish
     refine_max_cols: int = 50_000  # skip refining blocks wider than this
+    # Collinear chain/bridge gap for LCB selection (mugsyWGA --distance
+    # role at merge level; lcb/merge.select_consistent + bridge_adjacent).
+    chain_gap: int = 1000
     align: AlignConfig = field(default_factory=AlignConfig)
     distance_k: int = 8
     # Duplication handling (mugsy_mugsy -dup_list / mugsyWGA --duplications,
@@ -261,6 +264,7 @@ class Aligner:
             emit_unique=self.cfg.emit_unique,
             refine=self.cfg.refine,
             refine_max_cols=self.cfg.refine_max_cols,
+            chain_gap=self.cfg.chain_gap,
         )
 
     def align_ordered(self, order: list[str]) -> list[MafBlock]:

@@ -41,7 +41,7 @@ class JobExecutor:
         genomes: list[Genome],
         cfg: PipelineConfig | None = None,
         run_size: int = 4,
-        chunk_size: int = 4,
+        chunk_size: int = 16,
         scheduler: Optional[PriorityScheduler] = None,
         on_task: Optional[Callable[[str, str], None]] = None,
         store=None,  # runtime.artifacts.ArtifactStore
@@ -209,6 +209,7 @@ class JobExecutor:
                     emit_unique=self.cfg.emit_unique,
                     refine=self.cfg.refine,
                     refine_max_cols=self.cfg.refine_max_cols,
+                    chain_gap=self.cfg.chain_gap,
                 )
 
         merge_fut = self.sched.submit(
@@ -274,7 +275,7 @@ def align_fastas_concurrent(
     out_maf: str,
     cfg: PipelineConfig | None = None,
     run_size: int = 4,
-    chunk_size: int = 4,
+    chunk_size: int = 16,
     tmp_dir: str | None = None,
     process_index: int = 0,
     process_count: int = 1,
