@@ -177,8 +177,6 @@ def _fuse_pair(
     gap_rg: list[Range],
     gap_qg: list[Range],
     gap_cols: int,
-    gap_r: int,
-    gap_q: int,
 ) -> DeltaEntry:
     """Concatenate two collinear entries plus the aligned gap between them."""
     import dataclasses
@@ -195,12 +193,16 @@ def _fuse_pair(
         + [Range(g.start + a_cols, g.end + a_cols) for g in gap_qg]
         + [Range(g.start + off_b, g.end + off_b) for g in b.query_gaps]
     )
+    # Both entries' error counts survive the fuse (the gap segment's
+    # mismatches are unknown here; its indel columns are in the gap runs).
+    errors = tuple(x + y for x, y in zip(a.errors, b.errors))
     return dataclasses.replace(
         a,
         ref_range=Range(a.ref_range.start, b.ref_range.end),
         query_range=Range(a.query_range.start, b.query_range.end),
         ref_gaps=ref_gaps,
         query_gaps=query_gaps,
+        errors=errors,
     )
 
 
@@ -275,9 +277,9 @@ def bridge_adjacent(
         for i in range(1, len(group)):
             plan = by_i.get(i - 1)
             if plan is not None:
-                t, gap_r, gap_q = plan
+                t, _gap_r, _gap_q = plan
                 rg, qg, ncols = seg_results[t]
-                cur = _fuse_pair(cur, group[i], rg, qg, ncols, gap_r, gap_q)
+                cur = _fuse_pair(cur, group[i], rg, qg, ncols)
             else:
                 fused.append(cur)
                 cur = group[i]

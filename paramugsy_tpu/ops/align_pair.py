@@ -36,6 +36,13 @@ class AlignConfig:
     # correctness.
     max_seeds: int = 1 << 15
     max_seeds_cap: int = 1 << 18
+    # Pin the seed bucket to EXACTLY this size: disables both the
+    # per-bucket adaptive sizing and the overflow retry ladder, so a whole
+    # run touches ONE compiled seeding shape (every distinct max_seeds is
+    # a fresh multi-minute XLA/axon compile; see VERDICT r2 weak #1).
+    # Overflow with a pinned bucket logs and truncates instead of
+    # recompiling — pick a size that fits the input class.
+    pin_max_seeds: int | None = None
     max_clusters: int = 4096
     unique_in_query: bool = False  # nucmer --mum vs --mumreference
     scoring: Scoring = field(default_factory=Scoring)

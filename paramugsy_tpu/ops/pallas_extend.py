@@ -1041,7 +1041,15 @@ def wavefront_align_many(
         for lo in range(0, len(idxs), batch):
             part = idxs[lo : lo + batch]
             pairs = [segs[i] for i in part]
-            n_b = batch if len(part) > batch // 2 else 8
+            # Launch batch: the full `batch` when the part mostly fills it,
+            # else the part rounded UP to a multiple of 8 (wavefront_dp
+            # only needs batch % 8 == 0).  Rounding DOWN to a fixed 8 made
+            # parts of 9..batch//2 pairs index out of range.
+            n_b = (
+                batch
+                if len(part) > batch // 2
+                else max(8, -(-len(part) // 8) * 8)
+            )
             while len(pairs) < n_b:
                 pairs.append(
                     (np.empty(0, dtype=np.int8), np.empty(0, dtype=np.int8))

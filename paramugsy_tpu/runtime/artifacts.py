@@ -16,7 +16,9 @@ This store keeps that inspectable layout and adds what was missing:
 """
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
 import time
 from typing import Iterable
 
@@ -24,11 +26,57 @@ from paramugsy_tpu.formats.delta import DeltaEntry, DeltaWriter, read_delta
 from paramugsy_tpu.formats.maf import MAF_HEADER, MafBlock, read_maf, write_maf
 
 
+class _Heartbeat:
+    """Touches registered claim files every ``interval`` seconds.
+
+    Lets waiters distinguish a slow-but-alive owner (claim mtime fresh)
+    from a dead one (claim stale/missing), so failover never duplicates a
+    large pair's compute just because it takes longer than the failover
+    window.
+    """
+
+    def __init__(self, interval: float = 5.0):
+        self.interval = interval
+        self._paths: set[str] = set()
+        self._lock = threading.Lock()
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+
+    def add(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(str(os.getpid()))
+        with self._lock:
+            self._paths.add(path)
+            if self._thread is None or not self._thread.is_alive():
+                self._stop.clear()
+                self._thread = threading.Thread(
+                    target=self._run, name="artifact-heartbeat", daemon=True
+                )
+                self._thread.start()
+
+    def remove(self, path: str) -> None:
+        with self._lock:
+            self._paths.discard(path)
+        with contextlib.suppress(OSError):
+            os.unlink(path)
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval):
+            with self._lock:
+                paths = list(self._paths)
+                if not paths:
+                    return  # thread exits; restarted on next add()
+            for p in paths:
+                with contextlib.suppress(OSError):
+                    os.utime(p)
+
+
 class ArtifactStore:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(os.path.join(root, "pairs"), exist_ok=True)
         os.makedirs(os.path.join(root, "nodes"), exist_ok=True)
+        self._heartbeat = _Heartbeat()
 
     # -- keys ----------------------------------------------------------
     @staticmethod
@@ -72,6 +120,32 @@ class ArtifactStore:
     def load_pair(self, a: str, b: str) -> list[DeltaEntry]:
         return list(read_delta(self._pair_path(self.pair_key(a, b))))
 
+    @contextlib.contextmanager
+    def claim_pair(self, a: str, b: str):
+        """Advertise live ownership of a pair while computing it.
+
+        Creates a ``.claim`` heartbeat file next to the (future) artifact,
+        refreshed every few seconds by a daemon thread; ``wait_pair``ers
+        treat a fresh claim as proof of life and keep waiting instead of
+        firing failover on a merely-slow owner (ADVICE r2: a fixed 300 s
+        failover made every non-owner recompute any pair slower than
+        5 min).
+        """
+        path = self._pair_path(self.pair_key(a, b)) + ".claim"
+        self._heartbeat.add(path)
+        try:
+            yield
+        finally:
+            self._heartbeat.remove(path)
+
+    def _claim_age(self, a: str, b: str) -> float | None:
+        """Seconds since the owner's claim heartbeat, or None if unclaimed."""
+        path = self._pair_path(self.pair_key(a, b)) + ".claim"
+        try:
+            return max(0.0, time.time() - os.stat(path).st_mtime)
+        except OSError:
+            return None
+
     def wait_pair(
         self,
         a: str,
@@ -80,6 +154,7 @@ class ArtifactStore:
         poll: float = 0.2,
         failover=None,
         failover_after: float = 300.0,
+        claim_stale: float = 30.0,
     ):
         """Block until another host publishes this pair's artifact.
 
@@ -87,23 +162,32 @@ class ArtifactStore:
         ``failover_after`` seconds is RE-OWNED: this host computes it,
         publishes the result, and continues (the reference only retried
         locally, local_interface.ml:8-35 — a dead owner stalled the run).
-        Duplicate publication is benign: writers use unique tmp names and
-        an atomic rename, so the winner's artifact is always complete.
+        An owner holding a *fresh* claim heartbeat (see `claim_pair`) is
+        alive regardless of elapsed time, so slow pairs never fail over;
+        a claim older than ``claim_stale`` counts as dead.  Duplicate
+        publication is benign: writers use unique tmp names and an atomic
+        rename, so the winner's artifact is always complete.
         """
         path = self._pair_path(self.pair_key(a, b))
         deadline = time.time() + timeout
         fail_at = (time.time() + failover_after) if failover is not None else None
         while not os.path.exists(path):
             if fail_at is not None and time.time() > fail_at:
-                import logging
+                age = self._claim_age(a, b)
+                if age is not None and age < claim_stale:
+                    fail_at = time.time() + claim_stale  # owner alive: re-check
+                else:
+                    import logging
 
-                logging.getLogger("paramugsy.artifacts").warning(
-                    "owner silent for %.0fs; re-owning pair %s~%s",
-                    failover_after, a, b,
-                )
-                entries = failover()
-                self.save_pair(a, b, entries)
-                return entries
+                    logging.getLogger("paramugsy.artifacts").warning(
+                        "owner silent for %.0fs (claim %s); re-owning pair %s~%s",
+                        failover_after,
+                        "missing" if age is None else f"stale {age:.0f}s",
+                        a, b,
+                    )
+                    entries = failover()
+                    self.save_pair(a, b, entries)
+                    return entries
             if time.time() > deadline:
                 raise TimeoutError(f"timed out waiting for pair artifact {path}")
             time.sleep(poll)

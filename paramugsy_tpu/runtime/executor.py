@@ -87,9 +87,14 @@ class JobExecutor:
                     failover_after=self.failover_after,
                 )
         self._on_task("nucmer", f"{a}~{b}")
-        deltas = self._compute_pair(a, b)
         if self.store is not None:
-            self.store.save_pair(a, b, deltas)
+            # Claim heartbeat: waiters on other hosts see we're alive and
+            # don't fire failover on a slow (not dead) owner.
+            with self.store.claim_pair(a, b):
+                deltas = self._compute_pair(a, b)
+                self.store.save_pair(a, b, deltas)
+        else:
+            deltas = self._compute_pair(a, b)
         return deltas
 
     def _compute_pair(self, a: str, b: str):
@@ -124,18 +129,27 @@ class JobExecutor:
                 compute.append((a, b))
         if len(compute) > 1:
             try:
+                import contextlib
+
                 for a, b in compute:
                     self._on_task("nucmer", f"{a}~{b}")
-                with METRICS.phase("pairwise", items=len(compute)):
-                    deltas_list = genome_pair_deltas_batch(
-                        [(self.genomes[a], self.genomes[b]) for a, b in compute],
-                        self.cfg.align,
-                        self._device_cache,
-                    )
-                for (a, b), deltas in zip(compute, deltas_list):
+                with contextlib.ExitStack() as claims:
                     if self.store is not None:
-                        self.store.save_pair(a, b, deltas)
-                    out.extend(deltas)
+                        for a, b in compute:
+                            claims.enter_context(self.store.claim_pair(a, b))
+                    with METRICS.phase("pairwise", items=len(compute)):
+                        deltas_list = genome_pair_deltas_batch(
+                            [(self.genomes[a], self.genomes[b]) for a, b in compute],
+                            self.cfg.align,
+                            self._device_cache,
+                        )
+                    # Saves may fail mid-loop; `out` is only extended after
+                    # every save succeeds, so the per-pair fallback below
+                    # never duplicates entries already emitted.
+                    for (a, b), deltas in zip(compute, deltas_list):
+                        if self.store is not None:
+                            self.store.save_pair(a, b, deltas)
+                out.extend(e for deltas in deltas_list for e in deltas)
                 return out
             except Exception:
                 import logging

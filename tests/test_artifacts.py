@@ -53,6 +53,52 @@ class TestStore:
         with pytest.raises(TimeoutError):
             st.wait_pair("never", "arrives", timeout=0.3, poll=0.05)
 
+    def test_fresh_claim_defers_failover(self, tmp_path):
+        """A slow owner holding a live claim heartbeat is never failed
+        over; the waiter keeps waiting until the artifact appears."""
+        st = ArtifactStore(str(tmp_path))
+        de = DeltaEntry("a.c", "b.c", 100, 90, Range(1, 50), Range(10, 60), [], [])
+        fired = []
+
+        def slow_owner():
+            with st.claim_pair("s", "t"):
+                import time
+
+                time.sleep(0.8)  # much longer than failover_after below
+                st.save_pair("s", "t", [de])
+
+        t = threading.Thread(target=slow_owner)
+        t.start()
+        import time
+
+        time.sleep(0.1)  # let the claim land
+        got = st.wait_pair(
+            "s", "t",
+            failover=lambda: fired.append(1) or [de],
+            failover_after=0.2, poll=0.05, claim_stale=5.0,
+        )
+        t.join()
+        assert len(got) == 1
+        assert not fired, "failover fired despite a live owner claim"
+
+    def test_stale_claim_fails_over(self, tmp_path):
+        """A claim that stops being refreshed counts as a dead owner."""
+        import os
+        import time
+
+        st = ArtifactStore(str(tmp_path))
+        de = DeltaEntry("a.c", "b.c", 100, 90, Range(1, 50), Range(10, 60), [], [])
+        claim = st._pair_path(st.pair_key("u", "v")) + ".claim"
+        with open(claim, "w") as f:
+            f.write("dead")
+        old = time.time() - 60
+        os.utime(claim, (old, old))
+        got = st.wait_pair(
+            "u", "v", failover=lambda: [de],
+            failover_after=0.1, poll=0.05, claim_stale=1.0,
+        )
+        assert len(got) == 1 and st.has_pair("u", "v")
+
     def test_ownership_partition(self):
         owners = [PairOwnership(i, 3) for i in range(3)]
         pairs = [(f"g{a}", f"g{b}") for a in range(6) for b in range(a + 1, 6)]

@@ -182,3 +182,23 @@ class TestWavefrontKernel:
                 [(a, b)], width=256, chunk=16, interpret=True
             )
             assert path_score(a, b, *got) == path_score(a, b, *single)
+
+    def test_align_many_mid_size_part(self):
+        """Dispatch groups of 9..batch//2 pairs round the launch batch UP
+        to a multiple of 8 (regression: a fixed n_b=8 indexed out of
+        bounds for e.g. 12 pairs with batch=64, ADVICE r2)."""
+        from paramugsy_tpu.ops.pallas_extend import wavefront_align_many
+
+        rng = np.random.default_rng(33)
+        segs = []
+        for _ in range(12):
+            la = int(rng.integers(10, 60))
+            a = rng.integers(0, 4, size=la).astype(np.int8)
+            b = np.delete(a, rng.choice(la, 2, replace=False)).copy()
+            segs.append((a, b))
+        many = wavefront_align_many(
+            segs, batch=64, chunk=16, base_width=256, interpret=True
+        )
+        assert len(many) == 12
+        for (a, b), got in zip(segs, many):
+            assert path_score(a, b, *got) == brute_nw(a, b)
