@@ -1,11 +1,25 @@
 """Benchmark harness: pairwise whole-genome alignment throughput on one chip.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints the headline JSON line
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
+IMMEDIATELY after the headline measurement (so a timeout mid-extras still
+records the round), then runs strictly time-budgeted extras (quality
+mini-run, device-DP smoke, repeat-rich pair) and prints one final enriched
+JSON line — a superset with the same metric/value.  Whichever line is last
+on stdout parses to the same headline number.
+
+Budget: PARAMUGSY_BENCH_BUDGET seconds (default 240).  Every extra checks
+the remaining budget before starting; none of them can delay the headline
+print.  All jit shapes the bench touches are pre-compilable with
+``python benchmarks/warm_cache.py`` (the persistent compilation cache makes
+later runs load in seconds) — in particular the repeat-rich pair runs with
+a PINNED seed bucket so the overflow retry ladder (a fresh multi-minute
+XLA compile per doubling — what timed round 2 out) never engages.
 
 Config: a synthetic bacterial-scale genome pair (ref + 1%-diverged query
-with indels and an inversion), aligned end-to-end (device seeding/clustering
-+ chaining + extension) after a warm-up run that absorbs compilation.
+with indels and an inversion), aligned end-to-end (device seeding &
+clustering + chaining + extension) after a warm-up run that absorbs
+compilation-cache loads.
 
 Baselines (see benchmarks/BENCH_NOTES.md "Baseline provenance"):
 * ``vs_baseline`` compares against a MEASURED single-core host-CPU run of
@@ -17,17 +31,28 @@ Baselines (see benchmarks/BENCH_NOTES.md "Baseline provenance"):
   pairs put it at ~0.1-0.5 Mbp/s single-core — reported separately in
   ``detail.vs_nucmer_class_estimate`` and clearly labeled an estimate.
 
-``detail`` also reports the device wavefront-DP engine's end-to-end
-throughput (64 x 8 kbp banded alignments, on-device traceback) and a
-repeat-rich-input measurement, so kernel or repeat-handling regressions
-are visible in BENCH_rN.json.
+The enriched ``detail`` adds:
+* ``quality``: blocks / core bp / SP identity / coverage faults from a
+  4-genome multiple alignment sharing the headline's compiled shapes —
+  the reference's own oracles (lib/mafstat/p_core.ml:71-89,
+  lib/mafvalidate/main.ml:20-37), so quality regressions land in
+  BENCH_rN.json alongside speed;
+* ``device_dp_gcells_per_s``: the Pallas wavefront engine smoke (64 x
+  8 kbp banded alignments, on-device traceback) with a hard equality
+  assert against the host C++ engine;
+* ``repeat_rich_mbp_per_s``: hostile-input (dispersed repeat family)
+  throughput with the pinned seed bucket.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+T_START = time.monotonic()
+BUDGET_S = float(os.environ.get("PARAMUGSY_BENCH_BUDGET", "240"))
 
 # Measured on this machine (2026-08-19): same pipeline, one CPU core
 # (taskset -c 0, JAX_PLATFORMS=cpu, PARAMUGSY_DEVICE_DP=0), same pair.
@@ -36,6 +61,13 @@ BASELINE_HOST_1CORE_MBP_PER_S = 5.4
 # family aligners run bacterial pairs in tens of seconds single-core.
 NUCMER_CLASS_MBP_PER_S_ESTIMATE = 0.3
 GENOME_MBP = 2.0
+# One pre-sized seed bucket for the repeat-rich pair: large enough for its
+# merged-run count (measured ~51k), pinned so no retry ladder ever runs.
+REPEAT_RICH_MAX_SEEDS = 1 << 17
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.monotonic() - T_START)
 
 
 def build_pair(rng, n):
@@ -72,19 +104,42 @@ def build_repeat_rich_pair(rng, n, unit=4000, copies=40):
     return ref, q
 
 
-def bench_align(ref, query, cfg, align_pair, reps=3):
+def build_family(rng, n, count=4, div=0.005):
+    """`count` genomes independently diverged from one ancestor — the
+    quality mini-run's input (same length as the headline pair, so the
+    whole multiple alignment reuses the headline's compiled shapes)."""
+    from paramugsy_tpu.pipeline import Genome
+
+    bases = np.array(list("ACGT"))
+    anc = rng.integers(0, 4, size=n).astype(np.int8)
+    genomes = []
+    for i in range(count):
+        g = anc.copy()
+        subs = rng.random(n) < div
+        g[subs] = ((g[subs] + rng.integers(1, 4, size=int(subs.sum()))) % 4).astype(np.int8)
+        # one small indel each so coordinates differ
+        g = np.delete(g, rng.integers(0, n, size=5))
+        genomes.append(
+            Genome(name=f"q{i}", seqs={f"q{i}.chr": "".join(bases[g])})
+        )
+    return genomes
+
+
+def bench_align(ref, query, names, cfg, align_pair, device_cache, reps=3):
     dt = float("inf")
     entries = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        entries = align_pair(ref, query, "R.c", "Q.c", cfg)
+        entries = align_pair(ref, query, *names, cfg, device_cache=device_cache)
         dt = min(dt, time.perf_counter() - t0)
     aligned = sum(e.alignment_length() for e in entries)
     return aligned / 1e6 / dt, entries, dt
 
 
 def bench_device_dp(rng, n_pairs=64, length=8192, reps=2):
-    """End-to-end device wavefront DP (forward + on-device traceback)."""
+    """End-to-end device wavefront DP (forward + on-device traceback),
+    with a hard equality check against the host C++ banded engine."""
+    from paramugsy_tpu.ops.extend import align_long_segment
     from paramugsy_tpu.ops.pallas_extend import wavefront_align_many
 
     pairs = []
@@ -94,7 +149,11 @@ def bench_device_dp(rng, n_pairs=64, length=8192, reps=2):
         m = rng.random(len(b)) < 0.02
         b[m] = ((b[m] + 1) % 4).astype(np.int8)
         pairs.append((a, b))
-    _ = wavefront_align_many(pairs)  # warm-up / compile
+    res = wavefront_align_many(pairs)  # warm-up / compile
+    # Regression oracle: device result == host C++ result on a sample.
+    for i in (0, n_pairs // 2, n_pairs - 1):
+        host = align_long_segment(pairs[i][0], pairs[i][1])
+        assert res[i] == host, f"device/host DP mismatch on pair {i}"
     dt = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -103,6 +162,31 @@ def bench_device_dp(rng, n_pairs=64, length=8192, reps=2):
     cells = sum(len(a) * 512 for a, _ in pairs)
     assert all(r[2] >= length for r in res)
     return cells / dt / 1e9
+
+
+def bench_quality(rng, n):
+    """4-genome multiple alignment -> the reference's quality oracles."""
+    from paramugsy_tpu.pipeline import Aligner, PipelineConfig, finalize_blocks
+    from paramugsy_tpu.tools.mafstat import compute_stats
+    from paramugsy_tpu.tools.mafvalidate import find_faults
+
+    genomes = build_family(rng, n)
+    cfg = PipelineConfig()
+    t0 = time.perf_counter()
+    aligner = Aligner(genomes, cfg)
+    blocks = finalize_blocks(aligner.run())
+    wall = time.perf_counter() - t0
+    st = compute_stats(blocks)
+    faults = find_faults(blocks)
+    return {
+        "genomes": len(genomes),
+        "genome_mbp": round(n / 1e6, 3),
+        "blocks": len(blocks),
+        "core_bp": st.core_bp,
+        "sp_identity": round(st.sp_identity, 4),
+        "coverage_faults": len(faults),
+        "wall_s": round(wall, 2),
+    }
 
 
 def main() -> None:
@@ -119,50 +203,80 @@ def main() -> None:
     rng = np.random.default_rng(12345)
     ref, query = build_pair(rng, n)
     cfg = AlignConfig()
+    device_cache: dict = {}
 
     # Warm-up: compiles (or loads from the persistent cache) the device
     # kernels for this bucket shape.
-    _ = align_pair(ref, query, "warm.r", "warm.q", cfg)
+    _ = align_pair(ref, query, "bench.r", "bench.q", cfg, device_cache=device_cache)
 
-    mbp_per_s, entries, dt = bench_align(ref, query, cfg, align_pair)
-
-    rr_ref, rr_query = build_repeat_rich_pair(rng, n)
-    _ = align_pair(rr_ref, rr_query, "rwarm.r", "rwarm.q", cfg)
-    rr_mbp_per_s, rr_entries, rr_dt = bench_align(
-        rr_ref, rr_query, cfg, align_pair
+    mbp_per_s, entries, dt = bench_align(
+        ref, query, ("bench.r", "bench.q"), cfg, align_pair, device_cache
     )
 
-    device_dp_gcells = None
-    if jax.default_backend() == "tpu":
-        device_dp_gcells = round(bench_device_dp(rng), 3)
+    detail = {
+        "genome_mbp": GENOME_MBP,
+        "entries": len(entries),
+        "aligned_bp": sum(e.alignment_length() for e in entries),
+        "wall_s": round(dt, 3),
+        "backend": jax.default_backend(),
+        "baseline_host_1core_mbp_per_s": BASELINE_HOST_1CORE_MBP_PER_S,
+        "vs_nucmer_class_estimate": round(
+            mbp_per_s / NUCMER_CLASS_MBP_PER_S_ESTIMATE, 1
+        ),
+        "dp_engines": dict(engines.COUNTS),
+        "headline_elapsed_s": round(time.monotonic() - T_START, 1),
+    }
+    line = {
+        "metric": "aligned_mbp_per_s_per_chip",
+        "value": round(mbp_per_s, 3),
+        "unit": "Mbp/s",
+        "vs_baseline": round(mbp_per_s / BASELINE_HOST_1CORE_MBP_PER_S, 2),
+        "detail": detail,
+    }
+    # THE driver line: printed before any extra can time the round out.
+    print(json.dumps(line), flush=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "aligned_mbp_per_s_per_chip",
-                "value": round(mbp_per_s, 3),
-                "unit": "Mbp/s",
-                "vs_baseline": round(
-                    mbp_per_s / BASELINE_HOST_1CORE_MBP_PER_S, 2
-                ),
-                "detail": {
-                    "genome_mbp": GENOME_MBP,
-                    "entries": len(entries),
-                    "aligned_bp": sum(e.alignment_length() for e in entries),
-                    "wall_s": round(dt, 3),
-                    "backend": jax.default_backend(),
-                    "baseline_host_1core_mbp_per_s": BASELINE_HOST_1CORE_MBP_PER_S,
-                    "vs_nucmer_class_estimate": round(
-                        mbp_per_s / NUCMER_CLASS_MBP_PER_S_ESTIMATE, 1
-                    ),
-                    "repeat_rich_mbp_per_s": round(rr_mbp_per_s, 3),
-                    "repeat_rich_entries": len(rr_entries),
-                    "device_dp_gcells_per_s": device_dp_gcells,
-                    "dp_engines": dict(engines.COUNTS),
-                },
-            }
-        )
-    )
+    # ---- strictly budgeted extras (each skipped, never partial;
+    # ordered by information value, measured cost in parens) -------------
+    if remaining() > 40:  # ~7 s warm (shares the headline's shapes)
+        try:
+            detail["quality"] = bench_quality(rng, n)
+        except Exception as e:  # never lose the headline over an extra
+            detail["quality_error"] = repr(e)
+
+    if remaining() > 35:  # ~5 s warm (pinned bucket, no ladder)
+        try:
+            import dataclasses
+
+            rr_cfg = dataclasses.replace(
+                cfg, pin_max_seeds=REPEAT_RICH_MAX_SEEDS
+            )
+            rr_ref, rr_query = build_repeat_rich_pair(rng, n)
+            rr_mbp_per_s, rr_entries, _ = bench_align(
+                rr_ref, rr_query, ("bench.rr", "bench.rq"), rr_cfg,
+                align_pair, device_cache,
+            )
+            detail["repeat_rich_mbp_per_s"] = round(rr_mbp_per_s, 3)
+            detail["repeat_rich_entries"] = len(rr_entries)
+        except Exception as e:
+            detail["repeat_rich_error"] = repr(e)
+
+    if jax.default_backend() == "tpu" and remaining() > 30:  # ~15 s warm
+        try:
+            detail["device_dp_gcells_per_s"] = round(bench_device_dp(rng), 3)
+        except Exception as e:
+            detail["device_dp_error"] = repr(e)
+
+    detail["dp_engines"] = dict(engines.COUNTS)
+    detail["total_elapsed_s"] = round(time.monotonic() - T_START, 1)
+    try:
+        with open("benchmarks/last_bench_detail.json", "w") as f:
+            json.dump(line, f, indent=1)
+    except OSError:
+        pass
+    # Final enriched line (same metric/value): whichever line the driver's
+    # tail parser sees last, the headline number is identical.
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

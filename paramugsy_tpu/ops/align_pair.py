@@ -75,9 +75,14 @@ def initial_max_seeds(cfg: AlignConfig, n_ref: int, n_q: int) -> int:
     run per 100 bp at bacterial divergence) rather than pay the 2 Mbp
     worst case on every 100 kb pair.  Overflow auto-retries with a
     doubled bucket, so this bounds transfer, not correctness.
+
+    With ``cfg.pin_max_seeds`` the answer is exactly that pin: one
+    compiled seeding shape for the whole run, no adaptation, no ladder.
     """
     from paramugsy_tpu.ops.encode import bucket_size
 
+    if cfg.pin_max_seeds is not None:
+        return int(cfg.pin_max_seeds)
     bucket = max(bucket_size(n_ref), bucket_size(n_q))
     return int(min(cfg.max_seeds, max(4096, bucket >> 6)))
 
@@ -113,6 +118,16 @@ def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
         _, n_runs, strands = unpack_seed_clusters(packed, max_seeds, cfg.max_clusters)
         m_eff = len(strands[0].seed_rpos)
         if n_runs <= m_eff or max_seeds >= cfg.max_seeds_cap:
+            break
+        if cfg.pin_max_seeds is not None:
+            # Pinned bucket: never recompile.  Truncation keeps the
+            # longest-run prefix of the sorted join; log it and move on.
+            import logging
+
+            logging.getLogger("paramugsy.align").warning(
+                "seed bucket pinned at %d but %d merged runs; truncating",
+                max_seeds, n_runs,
+            )
             break
         # Overflow: merged runs were truncated; redo with a bigger bucket.
         max_seeds = min(

@@ -42,6 +42,29 @@ def tree_pairs(tree) -> list[tuple[str, str]]:
     return out
 
 
+def _exchange_blobs(blob: bytes) -> list[bytes]:
+    """All-gather one byte blob per process over the host collective.
+
+    The DCN control-plane exchange for finished (tiny) results: lengths
+    first, then the max-length-padded payloads.  Single-process runs
+    return ``[blob]`` without touching any collective.
+    """
+    import jax
+
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return [blob]
+    from jax.experimental import multihost_utils
+
+    ln = np.array([len(blob)], np.int64)
+    all_ln = np.asarray(multihost_utils.process_allgather(ln)).reshape(-1)
+    L = int(all_ln.max())
+    buf = np.zeros(max(L, 1), np.uint8)
+    buf[: len(blob)] = np.frombuffer(blob, np.uint8)
+    all_buf = np.asarray(multihost_utils.process_allgather(buf))
+    return [bytes(all_buf[p, : int(all_ln[p])]) for p in range(n_proc)]
+
+
 def sharded_genome_pair_deltas(
     genome_pairs: list,
     cfg: AlignConfig,
@@ -50,12 +73,20 @@ def sharded_genome_pair_deltas(
 ) -> list[list[DeltaEntry]]:
     """Pairwise deltas for genome pairs with the mesh as the data plane.
 
-    Contig-level jobs are padded to ONE shared bucket shape, the batch is
-    sharded over the ``pairs`` mesh axis, and the gathered packed results
-    are finished (chained + gap-extended) on the host.  Jobs that exceed
-    the windowing limit or overflow the seed bucket fall back to the
-    local single-pair path.
+    Contig-level jobs are padded to ONE shared bucket shape and the batch
+    is sharded over the ``pairs`` mesh axis.  The packed results stay
+    SHARDED: each process unpacks/chains/gap-extends only the rows on its
+    own devices (the host tail scales 1/hosts; round 2 replicated it per
+    host after an all_gather), then the finished delta entries — two
+    orders of magnitude smaller than the packed seeds — are exchanged
+    with one host-level all-gather.  Jobs that exceed the windowing limit
+    or overflow the seed bucket fall back to the local single-pair path
+    on the process that owns their row.
     """
+    import pickle
+
+    import jax as _jax
+
     from paramugsy_tpu.ops.encode import bucket_size, encode
     from paramugsy_tpu.ops.seeding import unpack_seed_clusters
     from paramugsy_tpu.parallel.pair_shard import make_sharded_packed_pair_step
@@ -82,7 +113,10 @@ def sharded_genome_pair_deltas(
         else:
             batched.append(idx)
 
-    results: list = [None] * len(jobs)
+    # Long (windowed) jobs are partitioned round-robin across processes;
+    # their finished entries ride the same exchange as the batched rows.
+    proc, n_proc = _jax.process_index(), _jax.process_count()
+    local_results: dict[int, list[DeltaEntry]] = {}
     if batched:
         # One shared bucket across the whole phase: shard_map needs one
         # static shape, and genome lengths within a run are comparable.
@@ -109,27 +143,53 @@ def sharded_genome_pair_deltas(
             max_gap=cfg.max_gap, max_clusters=cfg.max_clusters,
         )
         sh = NamedSharding(mesh, P("pairs"))
-        packed = np.asarray(
-            step(
-                jax.device_put(jnp.asarray(refs), sh),
-                jax.device_put(jnp.asarray(queries), sh),
-                jax.device_put(jnp.asarray(q_lens), sh),
-            )
+        packed_sharded = step(
+            jax.device_put(jnp.asarray(refs), sh),
+            jax.device_put(jnp.asarray(queries), sh),
+            jax.device_put(jnp.asarray(q_lens), sh),
         )
-        for row, i in enumerate(batched):
-            _, n_runs, strands = unpack_seed_clusters(
-                packed[row], max_seeds, cfg.max_clusters
-            )
-            if n_runs > len(strands[0].seed_rpos):
-                singles.append(i)  # overflow: local retry path
-                continue
-            ref_np, query_np, rn, qn = enc[i]
-            chains = _chains_of_strands(strands, cfg)
-            results[i] = _finish_pair(chains, ref_np, query_np, rn, qn, cfg)
+        # Only this process's rows come home (addressable shards).
+        for shard in packed_sharded.addressable_shards:
+            row0 = shard.index[0].start or 0
+            packed_local = np.asarray(shard.data)
+            for r in range(packed_local.shape[0]):
+                row = row0 + r
+                if row >= len(batched):
+                    continue  # padding row
+                i = batched[row]
+                _, n_runs, strands = unpack_seed_clusters(
+                    packed_local[r], max_seeds, cfg.max_clusters
+                )
+                ref_np, query_np, rn, qn = enc[i]
+                if n_runs > len(strands[0].seed_rpos):
+                    # overflow: local retry path (owner's host)
+                    local_results[i] = align_pair(
+                        ref_np, query_np, rn, qn, cfg, device_cache
+                    )
+                    continue
+                chains = _chains_of_strands(strands, cfg)
+                local_results[i] = _finish_pair(
+                    chains, ref_np, query_np, rn, qn, cfg
+                )
 
-    for i in singles:
+    for k_s, i in enumerate(singles):
+        if k_s % n_proc != proc:
+            continue
         ref_np, query_np, rn, qn = enc[i]
-        results[i] = align_pair(ref_np, query_np, rn, qn, cfg, device_cache)
+        local_results[i] = align_pair(ref_np, query_np, rn, qn, cfg, device_cache)
+
+    # Exchange finished entries (job idx -> entries), host collective.
+    results: list = [None] * len(jobs)
+    if n_proc > 1:
+        blob = pickle.dumps(local_results, protocol=pickle.HIGHEST_PROTOCOL)
+        for other in _exchange_blobs(blob):
+            for i, entries in pickle.loads(other).items():
+                results[i] = entries
+    else:
+        for i, entries in local_results.items():
+            results[i] = entries
+    missing = [i for i, r in enumerate(results) if r is None]
+    assert not missing, f"pair jobs never finished on any host: {missing[:5]}"
 
     out: list[list[DeltaEntry]] = [[] for _ in genome_pairs]
     for t, entries in zip(owners, results):
@@ -143,12 +203,20 @@ def align_fastas_sharded(
     cfg=None,
     mesh: Mesh | None = None,
     devices=None,
+    tmp_dir: str | None = None,
 ):
     """Multi-chip end-to-end alignment with collectives as the data plane.
 
-    The whole pairwise phase runs as sharded device batches (one
-    dispatch + one all_gather per bucket), then the tree merges consume
-    the gathered delta pool locally — no cross-host filesystem exchange.
+    The whole pairwise phase runs as sharded device batches (one dispatch
+    per bucket; each host finishes only its own rows, then finished
+    entries are exchanged).  The tree-merge phase is distributed too when
+    a shared ``tmp_dir`` is given and more than one process is running:
+    every pair's deltas are published to the store by their owner, then
+    the concurrent executor assigns each merge node to one deterministic
+    owner (others block on the node artifact) — the reference distributed
+    merge tasks across the cluster the same way
+    (lib/base/job_processor.ml:247-285).  Single-process runs merge
+    locally with the sequential Aligner.
     """
     from paramugsy_tpu.formats.maf import MAF_HEADER, write_maf
     from paramugsy_tpu.parallel.mesh import make_mesh
@@ -166,9 +234,28 @@ def align_fastas_sharded(
     deltas = sharded_genome_pair_deltas(
         [(by_name[a], by_name[b]) for a, b in pairs], cfg.align, mesh
     )
-    pool: list[DeltaEntry] = [e for entries in deltas for e in entries]
-    runner = Aligner(genomes, cfg, delta_pool=pool)
-    blocks = runner.run()
+    n_proc = jax.process_count()
+    if tmp_dir and n_proc > 1:
+        # Distributed merge phase: publish pair artifacts (owners only,
+        # all hosts hold all entries post-exchange), then run the
+        # executor with node-level ownership over the shared store.
+        from paramugsy_tpu.pipeline import finalize_blocks
+        from paramugsy_tpu.runtime.artifacts import ArtifactStore, PairOwnership
+        from paramugsy_tpu.runtime.executor import JobExecutor
+
+        store = ArtifactStore(tmp_dir)
+        ownership = PairOwnership(jax.process_index(), n_proc)
+        for (a, b), entries in zip(pairs, deltas):
+            if ownership.owns(a, b) and not store.has_pair(a, b):
+                store.save_pair(a, b, entries)
+        ex = JobExecutor(
+            genomes, cfg, store=store, ownership=ownership,
+        )
+        blocks = finalize_blocks(ex.execute(tree))
+    else:
+        pool: list[DeltaEntry] = [e for entries in deltas for e in entries]
+        runner = Aligner(genomes, cfg, delta_pool=pool)
+        blocks = runner.run()
     if out_maf:
         write_maf(out_maf, blocks, header=MAF_HEADER)
     return blocks

@@ -42,9 +42,18 @@ def make_sharded_packed_pair_step(
     band: int = 16,
     max_gap: int = 90,
     max_clusters: int = 4096,
+    gather: bool = False,
 ):
     """Jitted step: [B, N] pair batches sharded over ``pairs`` -> packed
-    int32 [B, L] replicated on every device via all_gather.
+    int32 [B, L].
+
+    With ``gather`` the result is replicated on every device via
+    all_gather; the default leaves it SHARDED over ``pairs`` so each host
+    finishes (unpacks/chains/extends) only its own rows — the host tail
+    scales with 1/hosts instead of being replicated (round 2 replicated
+    it), and the packed-seed ICI traffic disappears entirely.  Finished
+    delta entries are exchanged instead (collective.py), which are ~100x
+    smaller.
 
     Per-shard compute is byte-identical to the single-chip batched path
     (`ops.seeding.seed_cluster_both_packed_batch`), so the host-side
@@ -59,13 +68,15 @@ def make_sharded_packed_pair_step(
 
     def shard_fn(refs, queries, q_lens):
         packed = step(refs, queries, q_lens)
-        return lax.all_gather(packed, "pairs", axis=0, tiled=True)
+        if gather:
+            packed = lax.all_gather(packed, "pairs", axis=0, tiled=True)
+        return packed
 
     mapped = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P("pairs"), P("pairs"), P("pairs")),
-        out_specs=P(),
+        out_specs=P("pairs") if not gather else P(),
         check_vma=False,
     )
     return jax.jit(mapped)

@@ -121,30 +121,72 @@ class ArtifactStore:
         return list(read_delta(self._pair_path(self.pair_key(a, b))))
 
     @contextlib.contextmanager
-    def claim_pair(self, a: str, b: str):
-        """Advertise live ownership of a pair while computing it.
+    def _claim(self, artifact_path: str):
+        """Advertise live ownership of an artifact while computing it.
 
         Creates a ``.claim`` heartbeat file next to the (future) artifact,
-        refreshed every few seconds by a daemon thread; ``wait_pair``ers
-        treat a fresh claim as proof of life and keep waiting instead of
-        firing failover on a merely-slow owner (ADVICE r2: a fixed 300 s
-        failover made every non-owner recompute any pair slower than
-        5 min).
+        refreshed every few seconds by a daemon thread; waiters treat a
+        fresh claim as proof of life and keep waiting instead of firing
+        failover on a merely-slow owner (ADVICE r2: a fixed 300 s failover
+        made every non-owner recompute any pair slower than 5 min).
         """
-        path = self._pair_path(self.pair_key(a, b)) + ".claim"
+        path = artifact_path + ".claim"
         self._heartbeat.add(path)
         try:
             yield
         finally:
             self._heartbeat.remove(path)
 
-    def _claim_age(self, a: str, b: str) -> float | None:
+    def claim_pair(self, a: str, b: str):
+        return self._claim(self._pair_path(self.pair_key(a, b)))
+
+    def claim_node(self, genomes: Iterable[str]):
+        return self._claim(self._node_path(self.node_key(genomes)))
+
+    @staticmethod
+    def _claim_age(artifact_path: str) -> float | None:
         """Seconds since the owner's claim heartbeat, or None if unclaimed."""
-        path = self._pair_path(self.pair_key(a, b)) + ".claim"
         try:
-            return max(0.0, time.time() - os.stat(path).st_mtime)
+            return max(0.0, time.time() - os.stat(artifact_path + ".claim").st_mtime)
         except OSError:
             return None
+
+    def _wait_artifact(
+        self,
+        path: str,
+        load,
+        save,
+        what: str,
+        timeout: float,
+        poll: float,
+        failover,
+        failover_after: float,
+        claim_stale: float,
+    ):
+        """Generic publish-wait with claim-aware failover (see wait_pair)."""
+        deadline = time.time() + timeout
+        fail_at = (time.time() + failover_after) if failover is not None else None
+        while not os.path.exists(path):
+            if fail_at is not None and time.time() > fail_at:
+                age = self._claim_age(path)
+                if age is not None and age < claim_stale:
+                    fail_at = time.time() + claim_stale  # owner alive: re-check
+                else:
+                    import logging
+
+                    logging.getLogger("paramugsy.artifacts").warning(
+                        "owner silent for %.0fs (claim %s); re-owning %s",
+                        failover_after,
+                        "missing" if age is None else f"stale {age:.0f}s",
+                        what,
+                    )
+                    result = failover()
+                    save(result)
+                    return result
+            if time.time() > deadline:
+                raise TimeoutError(f"timed out waiting for artifact {path}")
+            time.sleep(poll)
+        return load()
 
     def wait_pair(
         self,
@@ -168,30 +210,15 @@ class ArtifactStore:
         publication is benign: writers use unique tmp names and an atomic
         rename, so the winner's artifact is always complete.
         """
-        path = self._pair_path(self.pair_key(a, b))
-        deadline = time.time() + timeout
-        fail_at = (time.time() + failover_after) if failover is not None else None
-        while not os.path.exists(path):
-            if fail_at is not None and time.time() > fail_at:
-                age = self._claim_age(a, b)
-                if age is not None and age < claim_stale:
-                    fail_at = time.time() + claim_stale  # owner alive: re-check
-                else:
-                    import logging
-
-                    logging.getLogger("paramugsy.artifacts").warning(
-                        "owner silent for %.0fs (claim %s); re-owning pair %s~%s",
-                        failover_after,
-                        "missing" if age is None else f"stale {age:.0f}s",
-                        a, b,
-                    )
-                    entries = failover()
-                    self.save_pair(a, b, entries)
-                    return entries
-            if time.time() > deadline:
-                raise TimeoutError(f"timed out waiting for pair artifact {path}")
-            time.sleep(poll)
-        return self.load_pair(a, b)
+        return self._wait_artifact(
+            self._pair_path(self.pair_key(a, b)),
+            load=lambda: self.load_pair(a, b),
+            save=lambda entries: self.save_pair(a, b, entries),
+            what=f"pair {a}~{b}",
+            timeout=timeout, poll=poll,
+            failover=failover, failover_after=failover_after,
+            claim_stale=claim_stale,
+        )
 
     # -- node (merge) outputs -------------------------------------------
     def has_node(self, genomes: Iterable[str]) -> bool:
@@ -206,22 +233,58 @@ class ArtifactStore:
     def load_node(self, genomes: Iterable[str]) -> list[MafBlock]:
         return list(read_maf(self._node_path(self.node_key(genomes))))
 
+    def wait_node(
+        self,
+        genomes: Iterable[str],
+        timeout: float = 3600,
+        poll: float = 0.2,
+        failover=None,
+        failover_after: float = 300.0,
+        claim_stale: float = 30.0,
+    ) -> list[MafBlock]:
+        """Block until the owning host publishes this merge node's MAF.
+
+        Same claim-aware failover semantics as `wait_pair`; this is what
+        distributes the tree-merge phase across hosts (the reference
+        distributed merge *tasks* over the cluster too,
+        lib/base/job_processor.ml:247-285)."""
+        genomes = list(genomes)
+        return self._wait_artifact(
+            self._node_path(self.node_key(genomes)),
+            load=lambda: self.load_node(genomes),
+            save=lambda blocks: self.save_node(genomes, blocks),
+            what=f"node {self.node_key(genomes)}",
+            timeout=timeout, poll=poll,
+            failover=failover, failover_after=failover_after,
+            claim_stale=claim_stale,
+        )
+
 
 class PairOwnership:
-    """Deterministic pair -> process assignment for multi-host runs.
+    """Deterministic work -> process assignment for multi-host runs.
 
-    Every host enumerates the same global pair list; a stable hash picks
-    one owner per pair (the reference's qsub job placement, made
-    deterministic).  Non-owners wait on the shared store.
+    Every host enumerates the same global pair list and job tree; a
+    stable hash picks one owner per pair and per merge node (the
+    reference's qsub job placement, made deterministic).  Non-owners wait
+    on the shared store.
     """
 
     def __init__(self, process_index: int = 0, process_count: int = 1):
         self.process_index = process_index
         self.process_count = process_count
 
+    def _owner_of(self, key: str) -> int:
+        import zlib  # stable digest (hash() is salted per process)
+
+        return zlib.crc32(key.encode()) % self.process_count
+
     def owns(self, a: str, b: str) -> bool:
         if self.process_count <= 1:
             return True
-        import zlib  # stable digest (hash() is salted per process)
+        return self._owner_of(f"{a}~{b}") == self.process_index
 
-        return zlib.crc32(f"{a}~{b}".encode()) % self.process_count == self.process_index
+    def owns_node(self, genomes: Iterable[str]) -> bool:
+        """Merge-node ownership (tree merges are distributed too)."""
+        if self.process_count <= 1:
+            return True
+        return self._owner_of("+".join(genomes)) == self.process_index

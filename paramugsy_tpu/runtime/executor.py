@@ -207,16 +207,16 @@ class JobExecutor:
         deltas = []
         for f in delta_futs:
             deltas.extend(f.result())
+        names = left_names + right_names
         uid = self._next_uid()
-        self._on_task("merge", uid)
         from paramugsy_tpu.utils.obs import METRICS
 
         def run_merge():
             with METRICS.phase("merge", items=1):
                 return merge_blocks(
-                lb,
-                rb,
-                deltas,
+                    lb,
+                    rb,
+                    deltas,
                     basename_left=f"l{uid}",
                     basename_right=f"r{uid}",
                     min_length=self.cfg.min_length,
@@ -226,12 +226,34 @@ class JobExecutor:
                     chain_gap=self.cfg.chain_gap,
                 )
 
-        merge_fut = self.sched.submit(
-            run_merge, priority=priority, name=f"merge-{uid}",
-        )
-        blocks = merge_fut.result()
+        # Merge nodes are distributed too: one deterministic owner per
+        # node computes it and publishes through the store; other hosts
+        # block on the artifact (with dead-owner failover).  The
+        # reference's cluster also ran merge tasks as distributed jobs
+        # (lib/base/job_processor.ml:247-285); round 2 replicated every
+        # merge on every host.
+        if (
+            self.store is not None
+            and self.ownership is not None
+            and not self.ownership.owns_node(names)
+        ):
+            self._on_task("merge-wait", "+".join(names))
+            return self.store.wait_node(
+                names, failover=run_merge, failover_after=self.failover_after
+            )
+        self._on_task("merge", uid)
         if self.store is not None:
-            self.store.save_node(left_names + right_names, blocks)
+            with self.store.claim_node(names):
+                merge_fut = self.sched.submit(
+                    run_merge, priority=priority, name=f"merge-{uid}",
+                )
+                blocks = merge_fut.result()
+                self.store.save_node(names, blocks)
+        else:
+            merge_fut = self.sched.submit(
+                run_merge, priority=priority, name=f"merge-{uid}",
+            )
+            blocks = merge_fut.result()
         return blocks
 
     def _process(self, node: JobTree, priority: int) -> Future:

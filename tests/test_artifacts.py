@@ -198,6 +198,59 @@ class TestMultiHostSimulated:
 
         assert rows(results[0]) == rows(results[1])
 
+    def test_merge_nodes_distributed(self, tmp_path):
+        """Each merge node is COMPUTED by exactly its owner; the other
+        host waits on the node artifact (round 2 replicated every merge
+        on every host; the reference distributed merge tasks,
+        job_processor.ml:247-285)."""
+        cfg = PipelineConfig()
+        genomes = _mk_genomes()
+        tree = Aligner(genomes, cfg).job_tree()
+        events = {0: [], 1: []}
+        results = {}
+        errors = []
+
+        def run(pid):
+            try:
+                ex = JobExecutor(
+                    _mk_genomes(), PipelineConfig(), run_size=2,
+                    store=ArtifactStore(str(tmp_path)),
+                    ownership=PairOwnership(pid, 2),
+                    on_task=lambda ph, n, pid=pid: events[pid].append((ph, n)),
+                )
+                results[pid] = ex.execute(tree)
+            except BaseException as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=run, args=(pid,)) for pid in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        waits = {
+            pid: {n for ph, n in evs if ph == "merge-wait"}
+            for pid, evs in events.items()
+        }
+        computes = {
+            pid: sum(1 for ph, _ in evs if ph == "merge")
+            for pid, evs in events.items()
+        }
+        # 4 genomes -> 3 merge nodes.  Disjointness: each node is computed
+        # by exactly one host and waited on by the other (which host gets
+        # which node is up to the ownership hash).
+        assert computes[0] + computes[1] == 3
+        assert len(waits[0]) + len(waits[1]) == 3
+        assert waits[0].isdisjoint(waits[1])
+
+        def rows(blocks):
+            return sorted(
+                (s.name, s.start, s.size, s.strand, s.text)
+                for b in blocks for s in b.seqs
+            )
+
+        assert rows(results[0]) == rows(results[1])
+
     def test_dead_owner_failover(self, tmp_path):
         """A host whose peer dies mid-run re-owns the silent pairs and
         completes instead of stalling for the full wait timeout
