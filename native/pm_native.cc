@@ -136,7 +136,77 @@ int pm_nw_align_batch(const int8_t* a, const int32_t* a_len,
   return overflow ? -1 : 0;
 }
 
-int pm_version() { return 2; }
+int pm_version() { return 3; }
+
+// Batched inter-anchor segment alignment straight from the FULL genome
+// code arrays: callers pass segment boundary arrays instead of slicing
+// 20k+ tiny NumPy views per pair (the Python marshalling dominated the
+// host tail wall; see BENCH_NOTES round 3).
+//   ref/qry:      full int8 code arrays (qry strand-local)
+//   r0,r1,q0,q1:  int64 [n] 0-based half-open slices [r0,r1) x [q0,q1)
+//   cap:          segments with max side length > cap are NOT aligned;
+//                 out_cols[i] = -1 so the caller can route them to the
+//                 device wavefront engine.
+//   out_runs:     [n, max_runs, 3] (side, start, end) gap runs; a segment
+//                 overflowing max_runs gets out_cols[i] = -2 (caller
+//                 realigns just that one).
+// Returns 0 (per-segment failures are in-band via out_cols markers).
+int pm_nw_segments(const int8_t* ref, const int8_t* qry,
+                   const int64_t* r0, const int64_t* r1,
+                   const int64_t* q0, const int64_t* q1,
+                   int32_t n, int32_t cap,
+                   int32_t match, int32_t mismatch, int32_t gap,
+                   int32_t* out_cols, int32_t* out_runs,
+                   int32_t* out_nruns, int32_t max_runs) {
+#if defined(_OPENMP)
+#pragma omp parallel
+#endif
+  {
+    std::vector<uint8_t> dirs;
+#if defined(_OPENMP)
+#pragma omp for schedule(dynamic, 64)
+#endif
+    for (int32_t t = 0; t < n; ++t) {
+      const int64_t la = r1[t] - r0[t];
+      const int64_t lb = q1[t] - q0[t];
+      int32_t* runs = out_runs + (size_t)t * max_runs * 3;
+      out_nruns[t] = 0;
+      if (la <= 0 && lb <= 0) {
+        out_cols[t] = 0;
+        continue;
+      }
+      if (la <= 0) {  // pure ref gap
+        runs[0] = 0; runs[1] = 1; runs[2] = (int32_t)lb;
+        out_nruns[t] = 1;
+        out_cols[t] = (int32_t)lb;
+        continue;
+      }
+      if (lb <= 0) {  // pure query gap
+        runs[0] = 1; runs[1] = 1; runs[2] = (int32_t)la;
+        out_nruns[t] = 1;
+        out_cols[t] = (int32_t)la;
+        continue;
+      }
+      if (la == 1 && lb == 1 && mismatch >= 2 * gap) {
+        out_cols[t] = 1;  // single (mis)match column beats two gaps
+        continue;
+      }
+      if (la > cap || lb > cap) {
+        out_cols[t] = -1;  // too long: device engine's job
+        continue;
+      }
+      const int32_t S1 = (int32_t)lb + 1;
+      if (dirs.size() < (size_t)(la + 1) * S1) dirs.resize((size_t)(la + 1) * S1);
+      int32_t nr = 0;
+      out_cols[t] = nw_one(ref + r0[t], (int32_t)la, qry + q0[t], (int32_t)lb,
+                           match, mismatch, gap, dirs.data(), S1,
+                           runs, max_runs, &nr);
+      out_nruns[t] = nr;
+      if (nr >= max_runs) out_cols[t] = -2;  // run overflow: redo solo
+    }
+  }
+  return 0;
+}
 
 // Exact O(C^2) cluster-chaining DP (the host tail of the mgaps role).
 // Inputs are cluster summaries sorted by (rstart, qstart); semantics are

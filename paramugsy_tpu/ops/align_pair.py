@@ -19,7 +19,7 @@ from paramugsy_tpu.coords.range import Range
 from paramugsy_tpu.formats.delta import DeltaEntry
 from paramugsy_tpu.ops.chaining import chain_clusters
 from paramugsy_tpu.ops.encode import encode, revcomp_codes_np
-from paramugsy_tpu.ops.extend import Scoring, align_segments
+from paramugsy_tpu.ops.extend import Scoring
 
 
 @dataclass
@@ -244,20 +244,18 @@ def _entries_of_chain(
     ends = np.concatenate((starts[1:], [n]))
 
     # Segments (inter-seed gaps inside a part): seed index i has a segment
-    # against seed i-1 iff no break there.  Batched alignment in seg order.
+    # against seed i-1 iff no break there.  Batched alignment in seg order,
+    # straight from boundary arrays (no per-segment slicing).
+    from paramugsy_tpu.ops.extend import align_segments_spans
+
     seg_idx = np.flatnonzero(~brk) + 1
-    r0s = (rend[seg_idx - 1] + 1).tolist()
-    q0s = (qend[seg_idx - 1] + 1).tolist()
-    r1s = rp[seg_idx].tolist()
-    q1s = qp[seg_idx].tolist()
-    seg_reqs = [
-        (ref_np[a:b], query_np[c:d]) for a, b, c, d in zip(r0s, r1s, q0s, q1s)
-    ]
-    seg_results = align_segments(seg_reqs, cfg.scoring)
-    n_segs = len(seg_results)
-    ncols = np.fromiter(
-        (r[2] for r in seg_results), dtype=np.int64, count=n_segs
+    ncols, gapped = align_segments_spans(
+        ref_np, query_np,
+        rend[seg_idx - 1] + 1, rp[seg_idx],
+        qend[seg_idx - 1] + 1, qp[seg_idx],
+        cfg.scoring,
     )
+    n_segs = len(seg_idx)
 
     # Column offset before each segment = seed lengths + segment columns
     # emitted so far within its part (prefix sums reset at part starts).
@@ -276,9 +274,8 @@ def _entries_of_chain(
     part_qgaps: list[list[Range]] = [[] for _ in range(n_parts)]
     cb = col_before.tolist()
     pids = pid.tolist()
-    for t, (rg, qg, _) in enumerate(seg_results):
-        if not (rg or qg):
-            continue
+    for t in sorted(gapped):  # ascending seg order = ascending column order
+        rg, qg = gapped[t]
         col = cb[t]
         p = pids[t]
         part_rgaps[p].extend(Range(g.start + col, g.end + col) for g in rg)

@@ -215,6 +215,70 @@ def align_segments(
     return results
 
 
+def align_segments_spans(
+    ref_np: np.ndarray,
+    qry_np: np.ndarray,
+    r0: np.ndarray,
+    r1: np.ndarray,
+    q0: np.ndarray,
+    q1: np.ndarray,
+    scoring: Scoring = Scoring(),
+):
+    """Batched inter-anchor alignment from span arrays (0-based half-open).
+
+    Semantically identical to ``align_segments`` over the corresponding
+    slices, but the segments never exist as Python objects: the native
+    kernel reads straight from the full genome arrays, and only segments
+    that actually produced gaps surface as Range lists.  (Slicing and
+    re-marshalling ~20k tiny views per pair dominated the host tail.)
+
+    Returns (ncols [n] int64, gapped: dict seg_idx -> (ref_runs, q_runs)).
+    """
+    n = len(r0)
+    if n == 0:
+        return np.zeros(0, np.int64), {}
+    from paramugsy_tpu.ops import engines
+    from paramugsy_tpu.ops.native import nw_segments_native
+
+    nat = nw_segments_native(
+        ref_np, qry_np, r0, r1, q0, q1,
+        scoring.match, scoring.mismatch, scoring.gap,
+    )
+    if nat is None:  # no native library: slice + the generic path
+        res = align_segments(
+            [(ref_np[a:b], qry_np[c:d]) for a, b, c, d in zip(r0, r1, q0, q1)],
+            scoring,
+        )
+        ncols = np.fromiter((r[2] for r in res), np.int64, count=n)
+        gapped = {t: (rg, qg) for t, (rg, qg, _) in enumerate(res) if rg or qg}
+        return ncols, gapped
+    cols, nruns, runs = nat
+    redo = np.flatnonzero(cols < 0)  # -1 too long (device), -2 run overflow
+    engines.record("native-nw", n - len(redo))
+    gapped: dict = {}
+    for t in np.flatnonzero(nruns > 0):
+        if cols[t] < 0:
+            continue
+        rr = runs[t, : nruns[t]]
+        gapped[int(t)] = (
+            [Range(int(s), int(e)) for side, s, e in rr if side == 0],
+            [Range(int(s), int(e)) for side, s, e in rr if side == 1],
+        )
+    ncols = cols.astype(np.int64)
+    if len(redo):
+        res = align_segments(
+            [(ref_np[r0[t]:r1[t]], qry_np[q0[t]:q1[t]]) for t in redo],
+            scoring,
+        )
+        for t, (rg, qg, nc) in zip(redo, res):
+            ncols[t] = nc
+            if rg or qg:
+                gapped[int(t)] = (rg, qg)
+            else:
+                gapped.pop(int(t), None)
+    return ncols, gapped
+
+
 def banded_align_np(
     a: np.ndarray, b: np.ndarray, width: int = 512, scoring: Scoring = Scoring()
 ):

@@ -113,6 +113,62 @@ def nw_align_batch_native(
     return cols, nruns, runs
 
 
+def nw_segments_native(
+    ref: np.ndarray,
+    qry: np.ndarray,
+    r0: np.ndarray,
+    r1: np.ndarray,
+    q0: np.ndarray,
+    q1: np.ndarray,
+    match: int,
+    mismatch: int,
+    gap: int,
+    cap: int = 4096,
+    max_runs: int = 34,
+):
+    """Batched segment alignment from boundary arrays (no Python slicing).
+
+    Returns (cols [n], nruns [n], runs [n, max_runs, 3]) or None when the
+    native library is absent.  Per-segment in-band markers in cols:
+    -1 = longer than `cap` (route to the device engine), -2 = gap-run
+    overflow (realign that one solo).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_segments_configured"):
+        lib.pm_nw_segments.restype = ctypes.c_int
+        lib.pm_nw_segments.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        lib._segments_configured = True
+    n = len(r0)
+    ref = np.ascontiguousarray(ref, dtype=np.int8)
+    qry = np.ascontiguousarray(qry, dtype=np.int8)
+    r0 = np.ascontiguousarray(r0, dtype=np.int64)
+    r1 = np.ascontiguousarray(r1, dtype=np.int64)
+    q0 = np.ascontiguousarray(q0, dtype=np.int64)
+    q1 = np.ascontiguousarray(q1, dtype=np.int64)
+    cols = np.zeros(n, dtype=np.int32)
+    runs = np.zeros((n, max_runs, 3), dtype=np.int32)
+    nruns = np.zeros(n, dtype=np.int32)
+    lib.pm_nw_segments(
+        _ptr(ref, ctypes.c_int8), _ptr(qry, ctypes.c_int8),
+        _ptr(r0, ctypes.c_int64), _ptr(r1, ctypes.c_int64),
+        _ptr(q0, ctypes.c_int64), _ptr(q1, ctypes.c_int64),
+        n, cap, match, mismatch, gap,
+        _ptr(cols, ctypes.c_int32), _ptr(runs, ctypes.c_int32),
+        _ptr(nruns, ctypes.c_int32), max_runs,
+    )
+    return cols, nruns, runs
+
+
 def banded_align_native(
     a: np.ndarray, b: np.ndarray, width: int, match: int, mismatch: int, gap: int
 ):

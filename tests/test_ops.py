@@ -203,6 +203,32 @@ class TestExtend:
         assert out[1][0][0].length == 3 and out[1][2] == 3
         assert out[2][1][0].length == 3
 
+    def test_align_segments_spans_matches_slices(self):
+        """The span-array fast path (native pm_nw_segments) must be
+        indistinguishable from aligning the corresponding slices."""
+        from paramugsy_tpu.ops.extend import align_segments_spans
+
+        rng = np.random.default_rng(11)
+        ref = rng.integers(0, 4, 4000).astype(np.int8)
+        qry = rng.integers(0, 4, 4000).astype(np.int8)
+        r0l, r1l, q0l, q1l = [], [], [], []
+        for _ in range(300):
+            a = int(rng.integers(0, 3900))
+            la = int(rng.integers(0, 50))
+            b = int(rng.integers(0, 3900))
+            lb = max(0, la + int(rng.integers(-4, 5)))
+            r0l.append(a), r1l.append(a + la), q0l.append(b), q1l.append(b + lb)
+        r0, r1 = np.array(r0l), np.array(r1l)
+        q0, q1 = np.array(q0l), np.array(q1l)
+        ncols, gapped = align_segments_spans(ref, qry, r0, r1, q0, q1)
+        want = align_segments(
+            [(ref[a:b], qry[c:d]) for a, b, c, d in zip(r0, r1, q0, q1)]
+        )
+        for t, (rg, qg, nc) in enumerate(want):
+            assert ncols[t] == nc
+            got = gapped.get(t, ([], []))
+            assert list(got[0]) == rg and list(got[1]) == qg
+
 
 class TestAlignPair:
     def setup_method(self):
