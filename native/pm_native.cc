@@ -136,7 +136,7 @@ int pm_nw_align_batch(const int8_t* a, const int32_t* a_len,
   return overflow ? -1 : 0;
 }
 
-int pm_version() { return 3; }
+int pm_version() { return 4; }
 
 // Batched inter-anchor segment alignment straight from the FULL genome
 // code arrays: callers pass segment boundary arrays instead of slicing
@@ -150,7 +150,9 @@ int pm_version() { return 3; }
 //   out_runs:     [n, max_runs, 3] (side, start, end) gap runs; a segment
 //                 overflowing max_runs gets out_cols[i] = -2 (caller
 //                 realigns just that one).
-// Returns 0 (per-segment failures are in-band via out_cols markers).
+// Returns the number of segments that actually ran the DP (degenerate
+// empty-side / 1-vs-1 shortcuts and -1/-2 marked segments excluded), so
+// the caller's engine accounting counts real work only.
 int pm_nw_segments(const int8_t* ref, const int8_t* qry,
                    const int64_t* r0, const int64_t* r1,
                    const int64_t* q0, const int64_t* q1,
@@ -158,8 +160,9 @@ int pm_nw_segments(const int8_t* ref, const int8_t* qry,
                    int32_t match, int32_t mismatch, int32_t gap,
                    int32_t* out_cols, int32_t* out_runs,
                    int32_t* out_nruns, int32_t max_runs) {
+  int32_t n_dp = 0;
 #if defined(_OPENMP)
-#pragma omp parallel
+#pragma omp parallel reduction(+ : n_dp)
 #endif
   {
     std::vector<uint8_t> dirs;
@@ -176,14 +179,18 @@ int pm_nw_segments(const int8_t* ref, const int8_t* qry,
         continue;
       }
       if (la <= 0) {  // pure ref gap
-        runs[0] = 0; runs[1] = 1; runs[2] = (int32_t)lb;
-        out_nruns[t] = 1;
+        if (max_runs >= 1) {
+          runs[0] = 0; runs[1] = 1; runs[2] = (int32_t)lb;
+          out_nruns[t] = 1;
+        }
         out_cols[t] = (int32_t)lb;
         continue;
       }
       if (lb <= 0) {  // pure query gap
-        runs[0] = 1; runs[1] = 1; runs[2] = (int32_t)la;
-        out_nruns[t] = 1;
+        if (max_runs >= 1) {
+          runs[0] = 1; runs[1] = 1; runs[2] = (int32_t)la;
+          out_nruns[t] = 1;
+        }
         out_cols[t] = (int32_t)la;
         continue;
       }
@@ -203,9 +210,10 @@ int pm_nw_segments(const int8_t* ref, const int8_t* qry,
                            runs, max_runs, &nr);
       out_nruns[t] = nr;
       if (nr >= max_runs) out_cols[t] = -2;  // run overflow: redo solo
+      else ++n_dp;
     }
   }
-  return 0;
+  return n_dp;
 }
 
 // Exact O(C^2) cluster-chaining DP (the host tail of the mgaps role).

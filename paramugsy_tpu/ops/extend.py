@@ -252,9 +252,10 @@ def align_segments_spans(
         ncols = np.fromiter((r[2] for r in res), np.int64, count=n)
         gapped = {t: (rg, qg) for t, (rg, qg, _) in enumerate(res) if rg or qg}
         return ncols, gapped
-    cols, nruns, runs = nat
+    cols, nruns, runs, n_dp = nat
     redo = np.flatnonzero(cols < 0)  # -1 too long (device), -2 run overflow
-    engines.record("native-nw", n - len(redo))
+    if n_dp:
+        engines.record("native-nw", n_dp)  # real DP runs only (ADVICE r3)
     gapped: dict = {}
     for t in np.flatnonzero(nruns > 0):
         if cols[t] < 0:

@@ -19,34 +19,76 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libpm_native.so")
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
+# Expected ABI of native/pm_native.cc (keep in sync with pm_version()):
+# a stale committed/cached .so below this version misses symbols, so the
+# loader rebuilds or falls back instead of raising AttributeError later
+# (ADVICE r3: a stale v2 .so crashed the mandatory _entries_of_chain path).
+PM_VERSION_EXPECTED = 4
+
+
+def _make(force: bool = False) -> bool:
+    if not os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR] + (["-B"] if force else []),
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        import logging
+
+        logging.getLogger("paramugsy.engines").warning(
+            "native build failed; using host NumPy fallbacks", exc_info=True
+        )
+        return False
+
+
+def _version_of(lib: ctypes.CDLL) -> int:
+    try:
+        lib.pm_version.restype = ctypes.c_int
+        return int(lib.pm_version())
+    except AttributeError:
+        return 0
+
 
 def load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and os.path.exists(
-        os.path.join(_NATIVE_DIR, "Makefile")
-    ):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
-            import logging
-
-            logging.getLogger("paramugsy.engines").warning(
-                "native build failed; using host NumPy fallbacks", exc_info=True
-            )
-            return None
+    if not os.path.exists(_LIB_PATH) and not _make():
+        return None
     if not os.path.exists(_LIB_PATH):
         return None
     # A library that exists but cannot load is a broken install: fail
     # loudly instead of silently degrading to the slow path.
     lib = ctypes.CDLL(_LIB_PATH)
+    if _version_of(lib) < PM_VERSION_EXPECTED:
+        # Stale .so (e.g. a cached binary older than the sources):
+        # force-rebuild, then load via a temp copy — dlopen caches by
+        # pathname, so re-opening _LIB_PATH would return the old handle.
+        if not _make(force=True):
+            return None
+        import shutil
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(suffix=".so", prefix="pm_native_")
+        os.close(fd)
+        shutil.copy2(_LIB_PATH, tmp)
+        lib = ctypes.CDLL(tmp)
+        os.unlink(tmp)  # the mapping survives the unlink
+        if _version_of(lib) < PM_VERSION_EXPECTED:
+            import logging
+
+            logging.getLogger("paramugsy.engines").warning(
+                "libpm_native.so version %d < expected %d even after "
+                "rebuild; using host NumPy fallbacks",
+                _version_of(lib), PM_VERSION_EXPECTED,
+            )
+            return None
     lib.pm_nw_align_batch.restype = ctypes.c_int
     lib.pm_nw_align_batch.argtypes = [
         ctypes.POINTER(ctypes.c_int8),
@@ -128,10 +170,11 @@ def nw_segments_native(
 ):
     """Batched segment alignment from boundary arrays (no Python slicing).
 
-    Returns (cols [n], nruns [n], runs [n, max_runs, 3]) or None when the
-    native library is absent.  Per-segment in-band markers in cols:
-    -1 = longer than `cap` (route to the device engine), -2 = gap-run
-    overflow (realign that one solo).
+    Returns (cols [n], nruns [n], runs [n, max_runs, 3], n_dp) or None
+    when the native library is absent; n_dp counts segments that actually
+    ran the DP (engine accounting excludes the degenerate shortcuts).
+    Per-segment in-band markers in cols: -1 = longer than `cap` (route to
+    the device engine), -2 = gap-run overflow (realign that one solo).
     """
     lib = load()
     if lib is None:
@@ -158,7 +201,7 @@ def nw_segments_native(
     cols = np.zeros(n, dtype=np.int32)
     runs = np.zeros((n, max_runs, 3), dtype=np.int32)
     nruns = np.zeros(n, dtype=np.int32)
-    lib.pm_nw_segments(
+    n_dp = lib.pm_nw_segments(
         _ptr(ref, ctypes.c_int8), _ptr(qry, ctypes.c_int8),
         _ptr(r0, ctypes.c_int64), _ptr(r1, ctypes.c_int64),
         _ptr(q0, ctypes.c_int64), _ptr(q1, ctypes.c_int64),
@@ -166,7 +209,7 @@ def nw_segments_native(
         _ptr(cols, ctypes.c_int32), _ptr(runs, ctypes.c_int32),
         _ptr(nruns, ctypes.c_int32), max_runs,
     )
-    return cols, nruns, runs
+    return cols, nruns, runs, int(n_dp)
 
 
 def banded_align_native(

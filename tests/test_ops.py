@@ -229,6 +229,46 @@ class TestExtend:
             got = gapped.get(t, ([], []))
             assert list(got[0]) == rg and list(got[1]) == qg
 
+    def test_align_segments_spans_redo_paths(self):
+        """Exercise both in-band redo markers of pm_nw_segments (ADVICE
+        r3): -1 (segment longer than the 4096 cap -> long-segment engine)
+        and -2 (gap-run overflow -> solo realign)."""
+        from paramugsy_tpu.ops.extend import align_segments_spans
+
+        rng = np.random.default_rng(23)
+        # Over-cap segment: 5000 bp vs a 4990 bp copy with 10 deletions.
+        long_a = rng.integers(0, 4, 5000).astype(np.int8)
+        long_b = np.delete(long_a, rng.choice(5000, 10, replace=False))
+        # Run-overflow segment: 40 random 3-bp blocks, each followed by an
+        # extra base on the ref side only -> ~40 separate 1-bp query-gap
+        # runs, far beyond max_runs=34.
+        blocks_b, blocks_a = [], []
+        for _ in range(40):
+            blk = rng.integers(0, 4, 3).astype(np.int8)
+            blocks_b.append(blk)
+            blocks_a.append(np.concatenate([blk, rng.integers(0, 4, 1).astype(np.int8)]))
+        ovf_a = np.concatenate(blocks_a)
+        ovf_b = np.concatenate(blocks_b)
+        # One ordinary segment so the batch is mixed.
+        mid = rng.integers(0, 4, 30).astype(np.int8)
+        ref = np.concatenate([long_a, ovf_a, mid])
+        qry = np.concatenate([long_b, ovf_b, mid])
+        o_r = [0, len(long_a), len(long_a) + len(ovf_a)]
+        o_q = [0, len(long_b), len(long_b) + len(ovf_b)]
+        r0 = np.array(o_r)
+        r1 = np.array([o_r[0] + len(long_a), o_r[1] + len(ovf_a), o_r[2] + len(mid)])
+        q0 = np.array(o_q)
+        q1 = np.array([o_q[0] + len(long_b), o_q[1] + len(ovf_b), o_q[2] + len(mid)])
+        ncols, gapped = align_segments_spans(ref, qry, r0, r1, q0, q1)
+        want = align_segments(
+            [(ref[a:b], qry[c:d]) for a, b, c, d in zip(r0, r1, q0, q1)]
+        )
+        assert len(want[1][0]) + len(want[1][1]) > 34  # really overflows
+        for t, (rg, qg, nc) in enumerate(want):
+            assert ncols[t] == nc
+            got = gapped.get(t, ([], []))
+            assert list(got[0]) == rg and list(got[1]) == qg
+
 
 class TestAlignPair:
     def setup_method(self):
