@@ -94,6 +94,72 @@ class DeltaEntry:
         return e if e.ref_range.is_forward else e.reverse()
 
 
+def trim_entry_left(
+    e: DeltaEntry, axis: str, t: int
+) -> Optional[DeltaEntry]:
+    """Remove the minimal prefix of alignment columns consuming exactly
+    ``t`` bases on ``axis`` ('ref' or 'query').
+
+    Used to de-overlap collinear entries before fusing (window-boundary
+    stitching): the prefix ends at the column of the t-th axis-advance, so
+    the trimmed entry starts right after that base.  Returns None when the
+    entry has fewer than ``t + 1`` axis bases (fully consumed).  The ref
+    row must be forward (the pipeline's invariant).  ``errors`` are kept
+    as-is (per-column attribution is unknown), matching the fuse
+    convention in lcb.merge.
+    """
+    assert e.ref_range.is_forward, "trim_entry_left requires a forward ref row"
+    if t <= 0:
+        return e
+    self_gaps = e.ref_gaps if axis == "ref" else e.query_gaps
+    axis_len = e.ref_range.length if axis == "ref" else e.query_range.length
+    if axis_len <= t:
+        return None
+    ncols = e.alignment_length()
+    # Find c = column index (1-based) of the t-th axis-advancing column.
+    adv = 0
+    pos = 1  # next column to scan
+    c = None
+    for run in list(self_gaps) + [Range(ncols + 1, ncols + 1)]:
+        avail = run.start - pos  # advancing columns before this gap run
+        if adv + avail >= t:
+            c = pos + (t - adv) - 1
+            break
+        adv += avail
+        pos = run.end + 1
+    assert c is not None  # axis_len > t guarantees it
+
+    def cut(runs: list[Range]) -> tuple[list[Range], int]:
+        """Shift runs left by c, clipping; also count gap columns <= c."""
+        out: list[Range] = []
+        gapcols = 0
+        for r in runs:
+            if r.end <= c:
+                gapcols += r.length
+            elif r.start <= c:
+                gapcols += c - r.start + 1
+                out.append(Range(1, r.end - c))
+            else:
+                out.append(Range(r.start - c, r.end - c))
+        return out, gapcols
+
+    new_rg, ref_gapcols = cut(e.ref_gaps)
+    new_qg, q_gapcols = cut(e.query_gaps)
+    ref_adv = c - ref_gapcols
+    q_adv = c - q_gapcols
+    ref_range = Range(e.ref_range.start + ref_adv, e.ref_range.end)
+    if e.query_range.is_forward:
+        query_range = Range(e.query_range.start + q_adv, e.query_range.end)
+    else:
+        query_range = Range(e.query_range.start - q_adv, e.query_range.end)
+    import dataclasses
+
+    return dataclasses.replace(
+        e, ref_range=ref_range, query_range=query_range,
+        ref_gaps=new_rg, query_gaps=new_qg,
+    )
+
+
 def gaps_of_offsets(offsets: list[int]) -> tuple[list[Range], list[Range]]:
     """Signed MUMmer offsets -> (ref_gaps, query_gaps) as position ranges."""
     ref_pos: list[int] = []

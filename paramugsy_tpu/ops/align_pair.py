@@ -53,8 +53,9 @@ class AlignConfig:
     # into overlapping windows and all window pairs aligned (the seeding
     # sort-join packs positions into 23 bits, so unbounded contigs must be
     # windowed; the reference delegated genome length entirely to nucmer,
-    # SURVEY §5.7).  Matches crossing a window boundary are truncated at
-    # window edge + overlap.
+    # SURVEY §5.7).  Matches crossing a window boundary are stitched back
+    # into single entries by `_fuse_window_pieces` (de-overlap trim +
+    # gap alignment at the junction).
     window: int = 1 << 22
     window_overlap: int = 1 << 17
 
@@ -498,6 +499,135 @@ def _windows(n: int, cfg: AlignConfig):
     return out
 
 
+def _diag_break(a: DeltaEntry, b: DeltaEntry) -> int:
+    """Diagonal drift between a's end junction and b's start junction
+    (forward: q - r constant along an ungapped alignment; reverse:
+    q + r constant)."""
+    if a.query_range.is_forward:
+        return abs(
+            (b.query_range.start - b.ref_range.start)
+            - (a.query_range.end - a.ref_range.end)
+        )
+    return abs(
+        (b.query_range.start + b.ref_range.start)
+        - (a.query_range.end + a.ref_range.end)
+    )
+
+
+def _try_fuse_pieces(
+    a: DeltaEntry,
+    b: DeltaEntry,
+    ref_np: np.ndarray,
+    query_np: np.ndarray,
+    cfg: AlignConfig,
+) -> DeltaEntry | None:
+    """Fuse two collinear window pieces (a before b on the ref axis).
+
+    Overlapping spans (each window sees into the overlap zone past its
+    core) are de-overlapped by trimming b's prefix in column space; the
+    remaining junction gap (<= break_len, like an in-window part) is
+    aligned and concatenated.  Returns the fused entry, or None when the
+    pieces are not two halves of one alignment.
+    """
+    from paramugsy_tpu.formats.delta import trim_entry_left
+    from paramugsy_tpu.lcb.merge import _fuse_pair
+    from paramugsy_tpu.ops.extend import align_segments
+
+    if a.query_range.is_forward != b.query_range.is_forward:
+        return None
+    if _diag_break(a, b) > cfg.break_len:
+        return None
+    forward = a.query_range.is_forward
+    gap_r = b.ref_range.start - a.ref_range.end - 1
+    if gap_r < -2 * cfg.window_overlap or gap_r > cfg.break_len:
+        return None
+    if gap_r < 0:
+        b = trim_entry_left(b, "ref", -gap_r)
+        if b is None:
+            return a  # b contained in a's ref span
+    if forward:
+        gap_q = b.query_range.start - a.query_range.end - 1
+    else:
+        gap_q = a.query_range.end - b.query_range.start - 1
+    if gap_q < -2 * cfg.window_overlap:
+        return None
+    if gap_q < 0:
+        b = trim_entry_left(b, "query", -gap_q)
+        if b is None:
+            return a
+    gap_r = b.ref_range.start - a.ref_range.end - 1
+    if forward:
+        gap_q = b.query_range.start - a.query_range.end - 1
+    else:
+        gap_q = a.query_range.end - b.query_range.start - 1
+    if not (0 <= gap_r <= cfg.break_len and 0 <= gap_q <= cfg.break_len):
+        return None
+    r_seg = ref_np[a.ref_range.end : a.ref_range.end + gap_r]
+    if forward:
+        q_seg = query_np[a.query_range.end : a.query_range.end + gap_q]
+    else:
+        q_seg = revcomp_codes_np(
+            query_np[b.query_range.start : b.query_range.start + gap_q]
+        )
+    rg, qg, ncols = align_segments([(r_seg, q_seg)], cfg.scoring)[0]
+    return _fuse_pair(a, b, rg, qg, ncols)
+
+
+def _fuse_window_pieces(
+    entries: list[DeltaEntry],
+    ref_np: np.ndarray,
+    query_np: np.ndarray,
+    cfg: AlignConfig,
+) -> list[DeltaEntry]:
+    """Stitch alignments that were split at window boundaries (P7 /
+    SURVEY §5.7): pieces of one alignment from adjacent window pairs are
+    collinear by construction and overlap (or abut within break_len) at
+    the junction, so a sweep over ref order fuses each run back into ONE
+    delta entry — windowed output matches the unwindowed single-entry
+    shape.  Only piece pairs that overlap on an axis or whose junction
+    sits within the overlap zone of a core boundary are candidates
+    (interior near-miss pairs the unwindowed path keeps separate stay
+    separate)."""
+    step = cfg.window - cfg.window_overlap
+    half = cfg.window_overlap  # junction-to-boundary slack
+
+    def near_boundary(pos: int) -> bool:
+        r = pos % step
+        return r <= half or r >= step - half
+
+    by_orient: dict[bool, list[DeltaEntry]] = {True: [], False: []}
+    for e in entries:
+        by_orient[e.query_range.is_forward].append(e)
+    out: list[DeltaEntry] = []
+    for group in by_orient.values():
+        group.sort(key=lambda e: (e.ref_range.abs().start, e.ref_range.abs().end))
+        cur: DeltaEntry | None = None
+        for e in group:
+            if cur is None:
+                cur = e
+                continue
+            overlaps = (
+                e.ref_range.start <= cur.ref_range.end
+                or (
+                    e.query_range.abs().start <= cur.query_range.abs().end
+                    and cur.query_range.abs().start <= e.query_range.abs().end
+                )
+            )
+            fused = (
+                _try_fuse_pieces(cur, e, ref_np, query_np, cfg)
+                if overlaps or near_boundary(cur.ref_range.end)
+                else None
+            )
+            if fused is None:
+                out.append(cur)
+                cur = e
+            else:
+                cur = fused
+        if cur is not None:
+            out.append(cur)
+    return out
+
+
 def _align_pair_windowed(
     ref_np: np.ndarray,
     query_np: np.ndarray,
@@ -510,8 +640,9 @@ def _align_pair_windowed(
 
     All (ref window x query window) pairs are aligned; an entry is kept
     iff both its midpoints fall in the pair's cores, so every locus is
-    reported by exactly one window pair (no duplicates).  Matches crossing
-    a window boundary are truncated at window edge + overlap/2.
+    reported by exactly one window pair (no duplicates).  Pieces of one
+    alignment truncated at window boundaries are stitched back into
+    single entries by `_fuse_window_pieces`.
     """
     import dataclasses
 
@@ -562,6 +693,7 @@ def _align_pair_windowed(
                     ),
                 )
             )
+    entries = _fuse_window_pieces(entries, ref_np, query_np, cfg)
     entries.sort(key=lambda e: (e.ref_range.abs().start, e.ref_range.abs().end))
     if cfg.post_filter == "one_to_one":
         entries = filter_one_to_one(entries)

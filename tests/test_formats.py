@@ -250,3 +250,50 @@ class TestMafDeltaRoundTrip:
             (blk,) = delta_to_maf_blocks([s], qs, rs)
             texts = [row.text.replace("-", "") for row in blk.seqs]
             assert all(texts)
+
+
+class TestTrimEntryLeft:
+    """Column-space prefix trim (window-boundary de-overlap)."""
+
+    def _entry(self, forward=True):
+        from paramugsy_tpu.formats.delta import DeltaEntry
+
+        # 10 columns: ref gap run at cols 3-4, query gap at col 7.
+        return DeltaEntry(
+            ref_name="R.c", query_name="Q.c", ref_len=100, query_len=100,
+            ref_range=Range(11, 18),
+            query_range=Range(21, 29) if forward else Range(29, 21),
+            ref_gaps=[Range(3, 4)], query_gaps=[Range(7, 7)],
+        )
+
+    def test_trim_ref(self):
+        from paramugsy_tpu.formats.delta import trim_entry_left
+
+        e = trim_entry_left(self._entry(), "ref", 3)
+        assert e.ref_range == Range(14, 18)
+        assert e.query_range == Range(26, 29)
+        assert e.ref_gaps == [] and e.query_gaps == [Range(2, 2)]
+        assert e.alignment_length() == 5
+
+    def test_trim_query_splits_other_axis_run(self):
+        from paramugsy_tpu.formats.delta import trim_entry_left
+
+        e = trim_entry_left(self._entry(), "query", 3)
+        assert e.ref_range == Range(13, 18)
+        assert e.query_range == Range(24, 29)
+        assert e.ref_gaps == [Range(1, 1)] and e.query_gaps == [Range(4, 4)]
+
+    def test_trim_reverse_query(self):
+        from paramugsy_tpu.formats.delta import trim_entry_left
+
+        e = trim_entry_left(self._entry(forward=False), "ref", 3)
+        assert e.ref_range == Range(14, 18)
+        assert e.query_range == Range(24, 21)  # high end consumed
+
+    def test_trim_consumes_entry(self):
+        from paramugsy_tpu.formats.delta import trim_entry_left
+
+        assert trim_entry_left(self._entry(), "ref", 8) is None
+        assert trim_entry_left(self._entry(), "ref", 99) is None
+        got = trim_entry_left(self._entry(), "ref", 0)
+        assert got.ref_range == Range(11, 18)
