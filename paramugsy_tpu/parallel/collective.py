@@ -12,8 +12,27 @@ demoted to resume-only.
 `align_fastas_sharded` is the multi-chip driver: genomes -> guide/job
 tree -> ONE sharded pairwise phase -> tree merges fed from the gathered
 delta pool -> final MAF.
+
+Failure semantics (the two modes have different contracts):
+
+* **Collective (sharded) phase: FAIL-FAST.**  Every host must reach each
+  collective; a host that dies or stalls aborts the phase on all
+  survivors promptly — via this module's liveness barrier
+  (``DeadHostError`` after ``PARAMUGSY_BARRIER_TIMEOUT``, default 600 s,
+  naming the missing process) or, when it fires first, the JAX
+  coordination service's heartbeat watchdog (a fatal runtime abort) —
+  never a deadlocked all-gather.  This mirrors the reference's
+  disappeared-job => Failed rule (lib/base/queue_server.ml:48-54).
+* **Store-backed merge phase (``tmp_dir``): FAULT-TOLERANT.**  Owners
+  publish per-pair/per-node artifacts; survivors re-own work from a dead
+  or stalled owner via claim heartbeats (runtime/artifacts.py), so the
+  run completes without the dead host.
 """
 from __future__ import annotations
+
+import contextlib
+import itertools
+import os
 
 import numpy as np
 
@@ -42,18 +61,102 @@ def tree_pairs(tree) -> list[tuple[str, str]]:
     return out
 
 
+class DeadHostError(RuntimeError):
+    """A peer process died or stalled during a collective phase."""
+
+
+_DEAD_HOST_MARKERS = (
+    "CoordinationService",
+    "Barrier timed out",
+    "DEADLINE_EXCEEDED",
+    "tasks have crashed",
+    "heartbeat",
+    "Socket closed",
+    "UNAVAILABLE",
+)
+
+
+@contextlib.contextmanager
+def fail_fast_contract(phase: str = "sharded"):
+    """Normalize peer-death failures to the documented contract.
+
+    A dead peer can surface three ways: this module's liveness barrier
+    (bounded, explicit), the coordination service's async error poll, or
+    a transport-level collective failure.  All become ``DeadHostError``
+    so callers observe ONE fail-fast contract regardless of which
+    detector fired first."""
+    try:
+        yield
+    except DeadHostError:
+        raise
+    except Exception as e:
+        s = f"{type(e).__name__}: {e}"
+        if any(m in s for m in _DEAD_HOST_MARKERS):
+            raise DeadHostError(
+                f"collective phase '{phase}': a peer process died "
+                f"({s.splitlines()[0][:200]}).  The sharded phase is "
+                "fail-fast by contract — restart the job; the "
+                "store-backed merge mode (tmp_dir) is the fault-tolerant "
+                "path."
+            ) from e
+        raise
+
+
+_barrier_seq = itertools.count()
+
+
+def _phase_barrier(tag: str, timeout_s: float | None = None) -> None:
+    """Fail-fast liveness barrier guarding each collective phase.
+
+    A Gloo/XLA all-gather with a dead peer deadlocks with no deadline;
+    this coordinator-service barrier (bounded by
+    ``PARAMUGSY_BARRIER_TIMEOUT``, default 600 s) converts that into a
+    prompt ``DeadHostError`` naming the missing process on every
+    survivor.  No-op when single-process or when jax.distributed is not
+    initialized (a simulated multi-process test harness)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+    except Exception:
+        client = None
+    if client is None:
+        return
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("PARAMUGSY_BARRIER_TIMEOUT", "600"))
+    barrier_id = f"paramugsy-{tag}-{next(_barrier_seq)}"
+    try:
+        client.wait_at_barrier(barrier_id, int(timeout_s * 1000))
+    except Exception as e:
+        raise DeadHostError(
+            f"collective phase '{tag}': a peer process died or stalled "
+            f"past {timeout_s:.0f}s ({e}).  The sharded phase is "
+            "fail-fast by contract — restart the job; the store-backed "
+            "merge mode (tmp_dir) is the fault-tolerant path."
+        ) from e
+
+
 def _exchange_blobs(blob: bytes) -> list[bytes]:
     """All-gather one byte blob per process over the host collective.
 
     The DCN control-plane exchange for finished (tiny) results: lengths
-    first, then the max-length-padded payloads.  Single-process runs
-    return ``[blob]`` without touching any collective.
+    first, then the max-length-padded payloads (every process holds
+    n_proc x max_blob transiently — acceptable for delta-entry payloads,
+    which are orders of magnitude smaller than the packed seed tensors).
+    Entered through a `_phase_barrier`, so a dead peer raises
+    `DeadHostError` instead of deadlocking the gather.  Single-process
+    runs return ``[blob]`` without touching any collective.
     """
     import jax
 
     n_proc = jax.process_count()
     if n_proc == 1:
         return [blob]
+    _phase_barrier("exchange")
     from jax.experimental import multihost_utils
 
     ln = np.array([len(blob)], np.int64)
@@ -143,6 +246,7 @@ def sharded_genome_pair_deltas(
             max_gap=cfg.max_gap, max_clusters=cfg.max_clusters,
         )
         sh = NamedSharding(mesh, P("pairs"))
+        _phase_barrier("pair-dispatch")
         packed_sharded = step(
             jax.device_put(jnp.asarray(refs), sh),
             jax.device_put(jnp.asarray(queries), sh),
@@ -218,6 +322,17 @@ def align_fastas_sharded(
     (lib/base/job_processor.ml:247-285).  Single-process runs merge
     locally with the sequential Aligner.
     """
+    from paramugsy_tpu.formats.maf import MAF_HEADER, write_maf
+    from paramugsy_tpu.parallel.mesh import make_mesh
+    from paramugsy_tpu.pipeline import Aligner, PipelineConfig, load_genome
+
+    with fail_fast_contract("align_fastas_sharded"):
+        return _align_fastas_sharded(
+            fasta_paths, out_maf, cfg, mesh, devices, tmp_dir
+        )
+
+
+def _align_fastas_sharded(fasta_paths, out_maf, cfg, mesh, devices, tmp_dir):
     from paramugsy_tpu.formats.maf import MAF_HEADER, write_maf
     from paramugsy_tpu.parallel.mesh import make_mesh
     from paramugsy_tpu.pipeline import Aligner, PipelineConfig, load_genome

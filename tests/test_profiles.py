@@ -499,3 +499,120 @@ class TestNativeTranslate:
         assert list(translate_deltas_fast(lps, rps, deltas)) == list(
             translate_deltas(lps, rps, deltas)
         )
+
+
+class TestChainEntries:
+    """Indexed adjacency chaining == the exhaustive reference scan."""
+
+    @staticmethod
+    def _brute(entries, max_gap=1000):
+        """The round-3 all-open-chains scan, kept as the oracle."""
+        by_key = {}
+        for e in entries:
+            key = (e.ref_name, e.query_name, e.query_range.is_forward)
+            by_key.setdefault(key, []).append(e)
+        chains = []
+        for (_, _, forward), group in by_key.items():
+            group.sort(key=lambda e: e.ref_range.abs().start)
+            open_chains = []
+            for e in group:
+                er, eq = e.ref_range.abs(), e.query_range.abs()
+                best = None
+                for ch in open_chains:
+                    lr, lq = ch[-1].ref_range.abs(), ch[-1].query_range.abs()
+                    gap_r = er.start - lr.end - 1
+                    if not (0 <= gap_r <= max_gap):
+                        continue
+                    if forward:
+                        gap_q = eq.start - lq.end - 1
+                    else:
+                        gap_q = lq.start - eq.end - 1
+                    if not (0 <= gap_q <= max_gap):
+                        continue
+                    if best is None or gap_r < best[0]:
+                        best = (gap_r, ch)
+                if best is None:
+                    open_chains.append([e])
+                else:
+                    best[1].append(e)
+            chains.extend(open_chains)
+        return chains
+
+    @staticmethod
+    def _rand_entries(rng, n, n_seqs=3, span=200_000, max_len=400):
+        from paramugsy_tpu.formats.delta import DeltaEntry
+
+        out = []
+        for _ in range(n):
+            rs = int(rng.integers(1, span))
+            rl = int(rng.integers(30, max_len))
+            qs = int(rng.integers(1, span))
+            ql = int(rng.integers(30, max_len))
+            fwd = bool(rng.integers(0, 2))
+            q = Range(qs, qs + ql) if fwd else Range(qs + ql, qs)
+            out.append(
+                DeltaEntry(
+                    ref_name=f"r{int(rng.integers(n_seqs))}.c",
+                    query_name=f"q{int(rng.integers(n_seqs))}.c",
+                    ref_len=span + max_len, query_len=span + max_len,
+                    ref_range=Range(rs, rs + rl), query_range=q,
+                    ref_gaps=[], query_gaps=[],
+                )
+            )
+        return out
+
+    def test_matches_exhaustive_scan(self):
+        import numpy as np
+
+        from paramugsy_tpu.lcb.merge import chain_entries
+
+        rng = np.random.default_rng(17)
+        for trial in range(5):
+            entries = self._rand_entries(rng, 400, span=20_000)
+            got = chain_entries(entries, max_gap=1500)
+            want = self._brute(entries, max_gap=1500)
+            assert [
+                [(id(e)) for e in ch] for ch in got
+            ] == [[(id(e)) for e in ch] for ch in want], f"trial {trial}"
+
+    def test_worst_case_scale(self):
+        """The old all-open-chains scan was O(n x total chains): 3000
+        separated chains of 10 fragments each (a heavily fragmented
+        merge) kept every chain open for every entry (~45M inner steps).
+        The indexed version retires chains behind the sweep and scans
+        only the max_gap ref window — must finish in seconds and produce
+        exactly the 3000 chains."""
+        import time
+
+        import numpy as np
+
+        from paramugsy_tpu.formats.delta import DeltaEntry
+        from paramugsy_tpu.lcb.merge import chain_entries
+
+        n_chains, frags = 3000, 10
+        entries = []
+        pos = 1
+        rng = np.random.default_rng(5)
+        for c in range(n_chains):
+            qpos = pos + 500_000  # far-off query diagonal per chain
+            for _ in range(frags):
+                ln = int(rng.integers(20, 40))
+                gap = int(rng.integers(0, 3))
+                entries.append(
+                    DeltaEntry(
+                        ref_name="r.c", query_name="q.c",
+                        ref_len=10**9, query_len=10**9,
+                        ref_range=Range(pos + gap, pos + gap + ln),
+                        query_range=Range(qpos + gap, qpos + gap + ln),
+                        ref_gaps=[], query_gaps=[],
+                    )
+                )
+                pos += gap + ln + 1
+                qpos += gap + ln + 1
+            pos += 5000  # > max_gap: next chain cannot join
+        t0 = time.perf_counter()
+        chains = chain_entries(entries, max_gap=1000)
+        dt = time.perf_counter() - t0
+        assert len(chains) == n_chains
+        assert all(len(ch) == frags for ch in chains)
+        assert dt < 5.0, f"chaining took {dt:.1f}s for {n_chains * frags} entries"
