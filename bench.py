@@ -8,13 +8,15 @@ mini-run, device-DP smoke, repeat-rich pair) and prints one final enriched
 JSON line — a superset with the same metric/value.  Whichever line is last
 on stdout parses to the same headline number.
 
-Budget: PARAMUGSY_BENCH_BUDGET seconds (default 240).  Every extra checks
-the remaining budget before starting; none of them can delay the headline
-print.  All jit shapes the bench touches are pre-compilable with
-``python benchmarks/warm_cache.py`` (the persistent compilation cache makes
-later runs load in seconds) — in particular the repeat-rich pair runs with
-a PINNED seed bucket so the overflow retry ladder (a fresh multi-minute
-XLA compile per doubling — what timed round 2 out) never engages.
+Budget: PARAMUGSY_BENCH_BUDGET seconds (default 480; round 3 measured the
+driver tolerating >= 263 s, and the warm-cache first dispatch is ~2 s).
+Every extra checks the remaining budget before starting; none of them can
+delay the headline print.  All jit shapes the bench touches are
+pre-compilable with ``python benchmarks/warm_cache.py`` (the persistent
+compilation cache makes later runs load in seconds).  Under the round-4
+sampled seeding defaults the repeat-rich pair fits the DEFAULT 4096-run
+bucket (measured 1038 merged runs), so no pinned bucket and no retry
+ladder exist anywhere in the bench.
 
 Config: a synthetic bacterial-scale genome pair (ref + 1%-diverged query
 with indels and an inversion), aligned end-to-end (device seeding &
@@ -52,7 +54,7 @@ import time
 import numpy as np
 
 T_START = time.monotonic()
-BUDGET_S = float(os.environ.get("PARAMUGSY_BENCH_BUDGET", "240"))
+BUDGET_S = float(os.environ.get("PARAMUGSY_BENCH_BUDGET", "480"))
 
 # Measured on this machine (2026-08-19): same pipeline, one CPU core
 # (taskset -c 0, JAX_PLATFORMS=cpu, PARAMUGSY_DEVICE_DP=0), same pair.
@@ -61,9 +63,6 @@ BASELINE_HOST_1CORE_MBP_PER_S = 5.4
 # family aligners run bacterial pairs in tens of seconds single-core.
 NUCMER_CLASS_MBP_PER_S_ESTIMATE = 0.3
 GENOME_MBP = 2.0
-# One pre-sized seed bucket for the repeat-rich pair: large enough for its
-# merged-run count (measured ~51k), pinned so no retry ladder ever runs.
-REPEAT_RICH_MAX_SEEDS = 1 << 17
 
 
 def remaining() -> float:
@@ -244,16 +243,11 @@ def main() -> None:
         except Exception as e:  # never lose the headline over an extra
             detail["quality_error"] = repr(e)
 
-    if remaining() > 35:  # ~5 s warm (pinned bucket, no ladder)
+    if remaining() > 35:  # ~5 s warm (shares the headline's shapes)
         try:
-            import dataclasses
-
-            rr_cfg = dataclasses.replace(
-                cfg, pin_max_seeds=REPEAT_RICH_MAX_SEEDS
-            )
             rr_ref, rr_query = build_repeat_rich_pair(rng, n)
             rr_mbp_per_s, rr_entries, _ = bench_align(
-                rr_ref, rr_query, ("bench.rr", "bench.rq"), rr_cfg,
+                rr_ref, rr_query, ("bench.rr", "bench.rq"), cfg,
                 align_pair, device_cache,
             )
             detail["repeat_rich_mbp_per_s"] = round(rr_mbp_per_s, 3)

@@ -52,7 +52,7 @@ for rep in range(3):
     t1 = time.perf_counter()
     packed = np.asarray(packed_dev)
     t2 = time.perf_counter()
-    n_raw, n_runs, strands = unpack_seed_clusters(packed, max_seeds, cfg.max_clusters)
+    n_raw, n_runs, _samp_over, strands = unpack_seed_clusters(packed, max_seeds, cfg.max_clusters)
     t3 = time.perf_counter()
     chains = _chains_of_strands(strands, cfg)
     t4 = time.perf_counter()

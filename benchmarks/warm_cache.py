@@ -28,8 +28,6 @@ def main():
     from paramugsy_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    import dataclasses
-
     import bench
     from paramugsy_tpu.ops.align_pair import AlignConfig, align_pair
 
@@ -42,10 +40,9 @@ def main():
     entries = align_pair(ref, query, "w.r", "w.q", cfg, device_cache=cache)
     mark(f"headline seeding shape ({len(entries)} entries)")
 
-    rr_cfg = dataclasses.replace(cfg, pin_max_seeds=bench.REPEAT_RICH_MAX_SEEDS)
     rr_ref, rr_query = bench.build_repeat_rich_pair(rng, n)
-    rr = align_pair(rr_ref, rr_query, "w.rr", "w.rq", rr_cfg, device_cache=cache)
-    mark(f"repeat-rich pinned shape ({len(rr)} entries)")
+    rr = align_pair(rr_ref, rr_query, "w.rr", "w.rq", cfg, device_cache=cache)
+    mark(f"repeat-rich (shares headline shapes; {len(rr)} entries)")
 
     import jax
 

@@ -36,6 +36,15 @@ class AlignConfig:
     # correctness.
     max_seeds: int = 1 << 15
     max_seeds_cap: int = 1 << 18
+    # Content-hash k-mer sampling density exponent (None = auto: 1/4 for
+    # joins >= 1M k-mers, exact below; see seeding.auto_sample_shift).
+    # 0 forces exact seeding at any scale.
+    seed_sample_shift: int | None = None
+    # Same-diagonal run-merge gap (None = 3 * 2^sample_shift, just enough
+    # to bridge sampled-anchor spacing).  Larger values swallow SNP
+    # breaks into single anchors: far fewer seeds/segments per pair at
+    # the cost of diagonal-locked alignment through the merged span.
+    seed_merge_gap: int | None = None
     # Pin the seed bucket to EXACTLY this size: disables both the
     # per-bucket adaptive sizing and the overflow retry ladder, so a whole
     # run touches ONE compiled seeding shape (every distinct max_seeds is
@@ -85,7 +94,21 @@ def initial_max_seeds(cfg: AlignConfig, n_ref: int, n_q: int) -> int:
     if cfg.pin_max_seeds is not None:
         return int(cfg.pin_max_seeds)
     bucket = max(bucket_size(n_ref), bucket_size(n_q))
+    if resolve_sample_shift(cfg, n_ref, n_q):
+        # Sampled seeding with the wide merge default yields ~2 orders of
+        # magnitude fewer runs (SNP breaks swallowed); the ladder still
+        # covers repeat-dense outliers.
+        return int(min(cfg.max_seeds, max(4096, bucket >> 9)))
     return int(min(cfg.max_seeds, max(4096, bucket >> 6)))
+
+
+def resolve_sample_shift(cfg: AlignConfig, n_ref: int, n_q: int) -> int:
+    """Per-pair content-hash sampling density (see seeding.auto_sample_shift)."""
+    from paramugsy_tpu.ops.seeding import auto_sample_shift
+
+    if cfg.seed_sample_shift is not None:
+        return int(cfg.seed_sample_shift)
+    return auto_sample_shift(n_ref + n_q)
 
 
 def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
@@ -102,6 +125,7 @@ def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
     )
 
     max_seeds = initial_max_seeds(cfg, ref_codes.shape[0], q_codes.shape[0])
+    shift = resolve_sample_shift(cfg, ref_codes.shape[0], q_codes.shape[0])
     while True:
         packed = seed_cluster_both_packed(
             ref_codes,
@@ -115,8 +139,22 @@ def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
             band=cfg.band,
             max_gap=cfg.max_gap,
             max_clusters=cfg.max_clusters,
+            sample_shift=shift,
+            merge_gap=cfg.seed_merge_gap,
         )
-        _, n_runs, strands = unpack_seed_clusters(packed, max_seeds, cfg.max_clusters)
+        _, n_runs, samp_over, strands = unpack_seed_clusters(
+            packed, max_seeds, cfg.max_clusters
+        )
+        if samp_over and shift:
+            # Composition-adversarial input overflowed the sample buffer:
+            # redo exact (rare; one extra compiled shape at most).
+            import logging
+
+            logging.getLogger("paramugsy.align").warning(
+                "sample buffer overflow; redoing pair unsampled"
+            )
+            shift = 0
+            continue
         m_eff = len(strands[0].seed_rpos)
         if n_runs <= m_eff or max_seeds >= cfg.max_seeds_cap:
             break
@@ -454,6 +492,7 @@ def align_pairs_batch(
             [len(enc[i][1]) for i in idxs] + [0] * (B_pad - B), jnp.int32
         )
         max_seeds = initial_max_seeds(cfg, rb, qb)
+        shift = resolve_sample_shift(cfg, rb, qb)
         packed = np.asarray(
             seed_cluster_both_packed_batch(
                 refs, queries, q_lens,
@@ -461,14 +500,15 @@ def align_pairs_batch(
                 unique_in_query=cfg.unique_in_query,
                 min_match=cfg.min_match, band=cfg.band,
                 max_gap=cfg.max_gap, max_clusters=cfg.max_clusters,
+                sample_shift=shift, merge_gap=cfg.seed_merge_gap,
             )
         )
         for row, i in zip(packed, idxs):
-            _, n_runs, strands = unpack_seed_clusters(
+            _, n_runs, samp_over, strands = unpack_seed_clusters(
                 row, max_seeds, cfg.max_clusters
             )
-            if n_runs > len(strands[0].seed_rpos):
-                singles.append(i)  # seed overflow: single-pair retry path
+            if samp_over or n_runs > len(strands[0].seed_rpos):
+                singles.append(i)  # overflow: single-pair retry path
                 continue
             ref_np, query_np, rn, qn = enc[i]
             chains = _chains_of_strands(strands, cfg)
@@ -745,7 +785,7 @@ def align_self(
             max_gap=cfg.max_gap,
             max_clusters=cfg.max_clusters,
         )
-        _, n_runs, strands = unpack_seed_clusters(packed, max_seeds, cfg.max_clusters)
+        _, n_runs, _, strands = unpack_seed_clusters(packed, max_seeds, cfg.max_clusters)
         if n_runs <= len(strands[0].seed_rpos) or max_seeds >= cfg.max_seeds_cap:
             break
         max_seeds = min(

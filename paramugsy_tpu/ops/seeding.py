@@ -175,6 +175,19 @@ def find_seeds(
     return out
 
 
+def auto_sample_shift(n_total: int) -> int:
+    """Content-hash sampling policy: 1/4 density for joins >= 1M k-mers.
+
+    The three O(n log^2 n) bitonic sorts dominate the fused seeding
+    kernel; compacting to a hash-sampled subset BEFORE sort #1 cuts the
+    sorted volume 4x (~3x kernel time) at bacterial scale.  Sampling is a
+    pure function of k-mer CONTENT (FracMinHash-style), so a k-mer is
+    kept in either both sequences or neither — the join and the
+    uniqueness counts over sampled k-mers keep their exact semantics.
+    Small inputs stay exact (and byte-stable for tests)."""
+    return 2 if n_total >= (1 << 20) else 0
+
+
 class SeedMatches2(NamedTuple):
     """Both-strand maximal matches: one sort-join for fwd + revcomp query."""
 
@@ -185,9 +198,15 @@ class SeedMatches2(NamedTuple):
     mask: jnp.ndarray
     n_raw: jnp.ndarray
     n_runs: jnp.ndarray
+    samp_over: jnp.ndarray  # int32 [] 1 = sample buffer overflowed (redo unsampled)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_seeds", "unique_in_query"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "max_seeds", "unique_in_query", "sample_shift", "merge_gap",
+    ),
+)
 def find_seeds_both(
     ref_codes,
     query_codes,
@@ -196,6 +215,8 @@ def find_seeds_both(
     k: int = 15,
     max_seeds: int = 1 << 16,
     unique_in_query: bool = False,
+    sample_shift: int = 0,
+    merge_gap: int | None = None,
 ) -> SeedMatches2:
     """Both-strand variant of `find_seeds` via one canonical-k-mer join.
 
@@ -219,6 +240,17 @@ def find_seeds_both(
     in the reference is not ref-unique (nucmer counts forward text only;
     the canonical rule is conservative at inverted repeats, which unique-
     match seeding should not anchor anyway).
+
+    With ``sample_shift`` > 0 (k <= 15 only), k-mers are content-hash
+    sampled at density 2^-shift and compacted BEFORE sort #1 — the sorts
+    run on the compacted buffer, ~2^shift times smaller.  Sampling is a
+    pure function of the canonical code, so every occurrence of a k-mer
+    is kept or dropped together: the join and the uniqueness counts keep
+    exact semantics over the sampled universe.  Runs then merge along a
+    diagonal across gaps <= 3 * 2^shift (sampled anchors are ~2^shift
+    apart), recovering MUM-scale spans; `samp_over` reports a (rare,
+    composition-adversarial) sample-buffer overflow so callers can redo
+    unsampled.
     """
     from paramugsy_tpu.ops.encode import kmer_canonical
 
@@ -228,6 +260,15 @@ def find_seeds_both(
     n = n_r + n_q
     if max(n_r, n_q) >= 1 << 23:
         raise ValueError("sequence bucket exceeds 2^23; window the input")
+    if k > 15:
+        sample_shift = 0
+    if merge_gap is None:
+        # Wide default under sampling: same-diagonal anchors merge across
+        # SNP breaks (the flanks pin the diagonal; substitution columns
+        # render correctly from the sequence text), collapsing run counts
+        # ~200x on 1%-diverged pairs — the d2h payload and the host tail
+        # shrink with them.
+        merge_gap = 16 << sample_shift if sample_shift else 0
 
     # owner|strand|pos packed into one int32 (1 + 1 + 23 bits); owner in
     # the top bit makes the ref entry sort first within each segment.
@@ -241,12 +282,31 @@ def find_seeds_both(
         ]
     )
     invalid_b = jnp.concatenate([~rvalid, ~qvalid])
+    samp_over = jnp.int32(0)
 
     if k <= 15:
         # Sort #1: single u32 key (invalid | canon), one payload.
         key1 = jnp.concatenate([rk, qk]) | (
             invalid_b.astype(jnp.uint32) << jnp.uint32(30)
         )
+        if sample_shift:
+            codes_all = jnp.concatenate([rk, qk])
+            h = codes_all * jnp.uint32(2654435761)
+            keep = (h >> jnp.uint32(32 - sample_shift)) == 0
+            keep = keep & ~invalid_b
+            # Static compacted size: mean density + 25% headroom.
+            B = ((n >> sample_shift) + (n >> (sample_shift + 2)) + 1023) & ~1023
+            pos_c = jnp.cumsum(keep.astype(jnp.int32)) - 1
+            n_samp = pos_c[-1] + 1
+            samp_over = (n_samp > B).astype(jnp.int32)
+            dst = jnp.where(keep, pos_c, B)  # out of range -> dropped
+            key1 = (
+                jnp.full((B,), jnp.uint32(1 << 30))
+                .at[dst]
+                .set(key1, mode="drop")
+            )
+            packed = jnp.zeros((B,), jnp.int32).at[dst].set(packed, mode="drop")
+            n = B
         key1, packed = lax.sort((key1, packed), num_keys=1)
         valid = key1 < (1 << 30)
         same_code = key1 == jnp.roll(key1, 1)
@@ -330,23 +390,31 @@ def find_seeds_both(
     cidx = idx
 
     prev_mask = jnp.roll(mask_c, 1).at[0].set(False)
+    # Same-diagonal runs merge across ref steps of 1..merge_gap+1 (step 1
+    # = consecutive k-mers, the exact-join case; larger steps only under
+    # sampling, where kept anchors are ~2^shift apart).
+    dr_prev = rpos_c - jnp.roll(rpos_c, 1)
     run_start = mask_c & (
         ~prev_mask
         | (key2 != jnp.roll(key2, 1))  # owner or diag change
-        | (rpos_c != jnp.roll(rpos_c, 1) + 1)
+        | (dr_prev < 1)
+        | (dr_prev > merge_gap + 1)
     )
+    dr_next = jnp.roll(rpos_c, -1) - rpos_c
     next_continues = (
         jnp.roll(mask_c, -1)
         & (jnp.roll(key2, -1) == key2)
-        & (jnp.roll(rpos_c, -1) == rpos_c + 1)
+        & (dr_next >= 1)
+        & (dr_next <= merge_gap + 1)
     )
     is_run_end = mask_c & ((cidx == n - 1) | ~next_continues)
     run_start_idx = _prefix_max(jnp.where(run_start, cidx, -1))
-    run_len_kmers = cidx - run_start_idx + 1
-    # Within a run both coordinates advance 1 per element: arithmetic, no
-    # gathers.
-    run_rpos = rpos_c - run_len_kmers + 1
-    run_qpos = qpos_c - run_len_kmers + 1
+    # Run span from the start anchor's coordinates (one gather; the old
+    # count arithmetic only held for step-1 runs).
+    rpos0 = rpos_c[jnp.maximum(run_start_idx, 0)]
+    run_rpos = rpos0
+    run_qpos = qpos_c - (rpos_c - rpos0)
+    run_span = rpos_c - rpos0 + k
 
     n_runs = jnp.sum(is_run_end.astype(jnp.int32))
 
@@ -355,7 +423,7 @@ def find_seeds_both(
         is_run_end, (owner_c << jnp.int32(24)) | run_rpos, jnp.int32(1 << 30)
     ).astype(jnp.int32)
     key3, o_qpos, o_len = lax.sort(
-        (key3, run_qpos, run_len_kmers + (k - 1)), num_keys=1, is_stable=True
+        (key3, run_qpos, run_span), num_keys=1, is_stable=True
     )
     take = min(max_seeds, n)
     cut = lambda x: lax.dynamic_slice_in_dim(x, 0, take)  # noqa: E731
@@ -368,6 +436,7 @@ def find_seeds_both(
         mask=key3_c < (1 << 30),
         n_raw=n_raw,
         n_runs=n_runs,
+       samp_over=samp_over,
     )
 
 
@@ -387,7 +456,7 @@ def revcomp_on_device(codes, n):
     jax.jit,
     static_argnames=(
         "k", "max_seeds", "unique_in_query", "min_match",
-        "band", "max_gap", "max_clusters",
+        "band", "max_gap", "max_clusters", "sample_shift", "merge_gap",
     ),
 )
 def seed_cluster_both_packed(
@@ -403,6 +472,8 @@ def seed_cluster_both_packed(
     band: int = 16,
     max_gap: int = 90,
     max_clusters: int = 4096,
+    sample_shift: int = 0,
+    merge_gap: int | None = None,
 ):
     """Seeding + both-strand clustering fused into one dispatch, with every
     output packed into ONE int32 vector.
@@ -412,7 +483,7 @@ def seed_cluster_both_packed(
     orchestration layer must make exactly one transfer per pair.  Layout
     (all int32), with M = max_seeds, C = max_clusters:
 
-        [n_raw, n_runs]
+        [M_eff, C_eff, n_raw, n_runs, samp_over]
         then per strand (forward, reverse):
           seed_rpos[M], seed_qpos[M], seed_len[M],
           c_first[C], c_rstart[C], c_rend[C], c_qstart[C], c_qend[C],
@@ -422,9 +493,10 @@ def seed_cluster_both_packed(
     runs of the sorted seed order, so c_first + c_nseeds recover the
     membership — 25% less d2h per pair.)
 
-    Unpack on host with `unpack_seed_clusters`.  The header is
-    [M_eff, C_eff, n_raw, n_runs]: output arrays shrink to the input size
-    for small buckets, so the effective sizes are recorded up front.
+    Unpack on host with `unpack_seed_clusters`.  Output arrays shrink to
+    the input size for small buckets, so the effective sizes are recorded
+    up front; ``samp_over`` = 1 means the content-hash sample buffer
+    overflowed (redo with sample_shift=0).
     """
     from paramugsy_tpu.ops.chaining import cluster_seeds
 
@@ -432,6 +504,7 @@ def seed_cluster_both_packed(
     seeds = find_seeds_both(
         ref_codes, query_codes, q_len,
         k=k, max_seeds=max_seeds, unique_in_query=unique_in_query,
+        sample_shift=sample_shift, merge_gap=merge_gap,
     )
     base_keep = seeds.mask & (seeds.length >= min_match)
     # Effective sizes (static): find_seeds/cluster outputs shrink to the
@@ -442,6 +515,7 @@ def seed_cluster_both_packed(
         jnp.array([m_eff, c_eff], jnp.int32),
         seeds.n_raw[None],
         seeds.n_runs[None],
+        seeds.samp_over[None],
     ]
     for reverse in (False, True):
         keep = base_keep & (seeds.reverse == reverse)
@@ -464,7 +538,7 @@ def seed_cluster_both_packed(
     jax.jit,
     static_argnames=(
         "k", "max_seeds", "unique_in_query", "min_match",
-        "band", "max_gap", "max_clusters",
+        "band", "max_gap", "max_clusters", "sample_shift", "merge_gap",
     ),
 )
 def seed_cluster_both_packed_batch(
@@ -479,6 +553,8 @@ def seed_cluster_both_packed_batch(
     band: int = 16,
     max_gap: int = 90,
     max_clusters: int = 4096,
+    sample_shift: int = 0,
+    merge_gap: int | None = None,
 ):
     """Batched `seed_cluster_both_packed`: a CHUNK of pairs per dispatch.
 
@@ -496,7 +572,8 @@ def seed_cluster_both_packed_batch(
             r, q, None, ql,
             k=k, max_seeds=max_seeds, unique_in_query=unique_in_query,
             min_match=min_match, band=band, max_gap=max_gap,
-            max_clusters=max_clusters,
+            max_clusters=max_clusters, sample_shift=sample_shift,
+            merge_gap=merge_gap,
         )
 
     return jax.vmap(one)(ref_codes, query_codes, q_len)
@@ -610,6 +687,7 @@ def find_repeat_seeds(
         mask=key3_c < (1 << 30),
         n_raw=n_raw,
         n_runs=n_runs,
+       samp_over=jnp.int32(0),
     )
 
 
@@ -648,6 +726,7 @@ def repeat_cluster_packed(
         jnp.array([m_eff, c_eff], jnp.int32),
         seeds.n_raw[None],
         seeds.n_runs[None],
+        seeds.samp_over[None],
     ]
     for inverted in (False, True):
         keep = base_keep & (seeds.reverse == inverted)
@@ -684,14 +763,15 @@ class HostClusters(NamedTuple):
 
 
 def unpack_seed_clusters(packed, max_seeds: int, max_clusters: int):
-    """Split `seed_cluster_both_packed` output: (n_raw, n_runs, [fwd, rev])."""
+    """Split `seed_cluster_both_packed` output:
+    (n_raw, n_runs, samp_over, [fwd, rev])."""
     import numpy as np
 
     buf = np.asarray(packed)
     M, C = int(buf[0]), int(buf[1])
     assert M <= max_seeds and C <= max_clusters
-    n_raw, n_runs = int(buf[2]), int(buf[3])
-    off = 4
+    n_raw, n_runs, samp_over = int(buf[2]), int(buf[3]), int(buf[4])
+    off = 5
     strands = []
     for _ in range(2):
         fields = []
@@ -702,4 +782,4 @@ def unpack_seed_clusters(packed, max_seeds: int, max_clusters: int):
         off += 1
         fields[10] = fields[10] != 0  # c_mask back to bool
         strands.append(HostClusters(*fields, n_clusters))
-    return n_raw, n_runs, strands
+    return n_raw, n_runs, samp_over, strands

@@ -237,13 +237,17 @@ def sharded_genome_pair_deltas(
             q_lens[row] = len(query_np)
         from paramugsy_tpu.ops.align_pair import initial_max_seeds
 
+        from paramugsy_tpu.ops.align_pair import resolve_sample_shift
+
         max_seeds = initial_max_seeds(cfg, rb, qb)
+        shift = resolve_sample_shift(cfg, rb, qb)
         step = make_sharded_packed_pair_step(
             mesh,
             k=cfg.k, max_seeds=max_seeds,
             unique_in_query=cfg.unique_in_query,
             min_match=cfg.min_match, band=cfg.band,
             max_gap=cfg.max_gap, max_clusters=cfg.max_clusters,
+            sample_shift=shift,
         )
         sh = NamedSharding(mesh, P("pairs"))
         _phase_barrier("pair-dispatch")
@@ -261,11 +265,11 @@ def sharded_genome_pair_deltas(
                 if row >= len(batched):
                     continue  # padding row
                 i = batched[row]
-                _, n_runs, strands = unpack_seed_clusters(
+                _, n_runs, samp_over, strands = unpack_seed_clusters(
                     packed_local[r], max_seeds, cfg.max_clusters
                 )
                 ref_np, query_np, rn, qn = enc[i]
-                if n_runs > len(strands[0].seed_rpos):
+                if samp_over or n_runs > len(strands[0].seed_rpos):
                     # overflow: local retry path (owner's host)
                     local_results[i] = align_pair(
                         ref_np, query_np, rn, qn, cfg, device_cache

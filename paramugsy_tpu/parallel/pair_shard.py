@@ -42,6 +42,7 @@ def make_sharded_packed_pair_step(
     band: int = 16,
     max_gap: int = 90,
     max_clusters: int = 4096,
+    sample_shift: int = 0,
     gather: bool = False,
 ):
     """Jitted step: [B, N] pair batches sharded over ``pairs`` -> packed
@@ -63,7 +64,7 @@ def make_sharded_packed_pair_step(
         seed_cluster_both_packed_batch,
         k=k, max_seeds=max_seeds, unique_in_query=unique_in_query,
         min_match=min_match, band=band, max_gap=max_gap,
-        max_clusters=max_clusters,
+        max_clusters=max_clusters, sample_shift=sample_shift,
     )
 
     def shard_fn(refs, queries, q_lens):

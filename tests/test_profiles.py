@@ -616,3 +616,79 @@ class TestChainEntries:
         assert len(chains) == n_chains
         assert all(len(ch) == frags for ch in chains)
         assert dt < 5.0, f"chaining took {dt:.1f}s for {n_chains * frags} entries"
+
+
+class TestLcbOptimalityGap:
+    """Measured optimality gap of the greedy LCB selection vs the exact
+    branch-and-bound solver on randomized small instances (VERDICT r3 #7
+    — the gap is a number, not an assumption)."""
+
+    @staticmethod
+    def _instance(rng, n_entries, n_seqs=2, span=8000):
+        from paramugsy_tpu.formats.delta import DeltaEntry
+
+        out = []
+        for _ in range(n_entries):
+            rs = int(rng.integers(1, span))
+            rl = int(rng.integers(60, 900))
+            qs = int(rng.integers(1, span))
+            ql = rl + int(rng.integers(-10, 11))
+            fwd = bool(rng.integers(0, 2))
+            q = Range(qs, qs + ql) if fwd else Range(qs + ql, qs)
+            out.append(
+                DeltaEntry(
+                    ref_name=f"r{int(rng.integers(n_seqs))}.c",
+                    query_name=f"q{int(rng.integers(n_seqs))}.c",
+                    ref_len=span + 1000, query_len=span + 1000,
+                    ref_range=Range(rs, rs + rl), query_range=q,
+                    ref_gaps=[], query_gaps=[],
+                )
+            )
+        return out
+
+    def test_greedy_within_measured_bound(self):
+        import numpy as np
+
+        from paramugsy_tpu.lcb.exact import greedy_weight, select_exact
+
+        rng = np.random.default_rng(29)
+        ratios = []
+        for trial in range(40):
+            inst = self._instance(rng, int(rng.integers(8, 17)))
+            _, opt = select_exact(inst)
+            got = greedy_weight(inst)
+            assert got <= opt
+            if opt:
+                ratios.append(got / opt)
+        mean = sum(ratios) / len(ratios)
+        worst = min(ratios)
+        # Measured on these seeded instances (2026-08-20): mean 0.965,
+        # median 1.000, worst 0.791, optimal on 24/40.  The asserts pin a
+        # regression floor, not the measurement; BENCH_NOTES carries the
+        # numbers.
+        assert mean > 0.93, f"mean greedy/optimal ratio {mean:.3f}"
+        assert worst > 0.70, f"worst greedy/optimal ratio {worst:.3f}"
+
+    def test_exact_solver_is_optimal_on_known_instance(self):
+        """The classical heaviest-first trap (one big entry vs two
+        collinear mediums that together outweigh it): the exact solver
+        returns the mediums — and so does the production greedy, BECAUSE
+        chain_entries groups the collinear mediums into one candidate
+        that outweighs the big entry (the mugsyWGA chaining behaviour)."""
+        from paramugsy_tpu.formats.delta import DeltaEntry
+        from paramugsy_tpu.lcb.exact import greedy_weight, select_exact
+
+        def e(rs, re_, qs, qe):
+            return DeltaEntry(
+                ref_name="r0.c", query_name="q0.c",
+                ref_len=10_000, query_len=10_000,
+                ref_range=Range(rs, re_), query_range=Range(qs, qe),
+                ref_gaps=[], query_gaps=[],
+            )
+
+        big = e(1000, 2000, 5000, 6000)          # w=1001
+        m1 = e(900, 1500, 7000, 7600)            # w=601, ref-overlaps big
+        m2 = e(1600, 2200, 8000, 8600)           # w=601, ref-overlaps big
+        kept, opt = select_exact([big, m1, m2])
+        assert opt == 1202 and len(kept) == 2
+        assert greedy_weight([big, m1, m2]) == 1202  # chaining saves greedy
