@@ -112,10 +112,12 @@ def trim_entry_left(
     if t <= 0:
         return e
     self_gaps = e.ref_gaps if axis == "ref" else e.query_gaps
-    axis_len = e.ref_range.length if axis == "ref" else e.query_range.length
+    ncols = e.alignment_length()
+    # Axis length derived from the column structure (robust to entries
+    # whose row ranges disagree with their gap runs).
+    axis_len = ncols - sum(g.length for g in self_gaps)
     if axis_len <= t:
         return None
-    ncols = e.alignment_length()
     # Find c = column index (1-based) of the t-th axis-advancing column.
     adv = 0
     pos = 1  # next column to scan
@@ -152,6 +154,73 @@ def trim_entry_left(
         query_range = Range(e.query_range.start + q_adv, e.query_range.end)
     else:
         query_range = Range(e.query_range.start - q_adv, e.query_range.end)
+    import dataclasses
+
+    return dataclasses.replace(
+        e, ref_range=ref_range, query_range=query_range,
+        ref_gaps=new_rg, query_gaps=new_qg,
+    )
+
+
+def trim_entry_right(
+    e: DeltaEntry, axis: str, t: int
+) -> Optional[DeltaEntry]:
+    """Remove the minimal suffix of alignment columns consuming exactly
+    ``t`` bases on ``axis`` ('ref' or 'query') — the mirror of
+    `trim_entry_left`, used by LCB selection to shave a claimed margin
+    off an otherwise-free entry instead of dropping it whole.
+
+    Returns None when the entry has fewer than ``t + 1`` axis bases.
+    The ref row must be forward (the pipeline's invariant).
+    """
+    assert e.ref_range.is_forward, "trim_entry_right requires a forward ref row"
+    if t <= 0:
+        return e
+    self_gaps = e.ref_gaps if axis == "ref" else e.query_gaps
+    ncols = e.alignment_length()
+    # Axis length derived from the column structure (robust to entries
+    # whose row ranges disagree with their gap runs).
+    axis_len = ncols - sum(g.length for g in self_gaps)
+    if axis_len <= t:
+        return None
+    # Find c = column index (1-based) of the t-th axis-advancing column
+    # counting from the right; columns [c, ncols] are removed.
+    adv = 0
+    pos = ncols  # next column to scan, right-to-left
+    c = None
+    for run in reversed([Range(0, 0)] + list(self_gaps)):
+        avail = pos - run.end  # advancing columns after this gap run
+        if adv + avail >= t:
+            c = pos - (t - adv) + 1
+            break
+        adv += avail
+        pos = run.start - 1
+    assert c is not None  # axis_len > t guarantees it
+
+    def cut(runs: list[Range]) -> tuple[list[Range], int]:
+        """Drop/clip runs at column >= c; count removed gap columns."""
+        out: list[Range] = []
+        gapcols = 0
+        for r in runs:
+            if r.start >= c:
+                gapcols += r.length
+            elif r.end >= c:
+                gapcols += r.end - c + 1
+                out.append(Range(r.start, c - 1))
+            else:
+                out.append(r)
+        return out, gapcols
+
+    new_rg, ref_gapcols = cut(e.ref_gaps)
+    new_qg, q_gapcols = cut(e.query_gaps)
+    removed = ncols - c + 1
+    ref_adv = removed - ref_gapcols
+    q_adv = removed - q_gapcols
+    ref_range = Range(e.ref_range.start, e.ref_range.end - ref_adv)
+    if e.query_range.is_forward:
+        query_range = Range(e.query_range.start, e.query_range.end - q_adv)
+    else:
+        query_range = Range(e.query_range.start, e.query_range.end + q_adv)
     import dataclasses
 
     return dataclasses.replace(

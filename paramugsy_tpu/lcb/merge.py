@@ -65,6 +65,37 @@ class _Occupancy:
         ra = r.abs()
         insort(self._by_seq.setdefault(seq, []), (ra.start, ra.end))
 
+    def margins(self, seq: str, r: Range) -> tuple[int, int] | None:
+        """(left, right) bp to shave off ``r``'s absolute ends so the
+        remainder is claim-free, or None when a claim sits strictly in
+        the interior (margin trimming can't fix it)."""
+        ivs = self._by_seq.get(seq)
+        ra = r.abs()
+        if not ivs:
+            return (0, 0)
+        i = bisect_left(ivs, (ra.start, ra.start))
+        if i > 0 and ivs[i - 1][1] >= ra.start:
+            i -= 1
+        left = 0
+        # Claims stacking from the left edge extend the left cut.
+        while i < len(ivs) and ivs[i][0] <= ra.start + left and ivs[i][0] <= ra.end:
+            left = max(left, ivs[i][1] - ra.start + 1)
+            i += 1
+        right = 0
+        j = len(ivs) - 1
+        while j >= 0 and ivs[j][1] >= ra.end - right and ivs[j][1] >= ra.start:
+            right = max(right, ra.end - ivs[j][0] + 1)
+            j -= 1
+        # Any claim left in (i..j) overlapping the remainder is interior.
+        lo, hi = ra.start + left, ra.end - right
+        if lo > hi:
+            return None  # cuts consume the whole range
+        for t in range(max(i, 0), j + 1):
+            s, e = ivs[t]
+            if s <= hi and e >= lo:
+                return None
+        return (min(left, ra.length), min(right, ra.length))
+
     def uncovered(self, seq: str, length: int) -> list[tuple[int, int]]:
         """1-indexed inclusive complement intervals."""
         out = []
@@ -162,6 +193,60 @@ def chain_entries(
     return chains
 
 
+def _trim_to_fit(
+    e: DeltaEntry, occ: _Occupancy, min_length: int
+) -> DeltaEntry | None:
+    """Shave claimed margins off a blocked entry so the remainder tiles.
+
+    An entry overlapping prior claims only at its ends loses the claimed
+    margins (column-exact trims) instead of being dropped whole — without
+    this, a 1-2 bp end overlap discards arbitrarily large alignments
+    (measured: 24.8 kb and 12 kb entries rejected over 1-2 bp on the
+    realistic fixture, costing ~45 kb of core).  Returns the trimmed
+    entry, or None when a claim is interior / the remainder is shorter
+    than ``min_length`` on either axis.
+    """
+    from paramugsy_tpu.formats.delta import trim_entry_left, trim_entry_right
+
+    if not e.ref_range.is_forward:
+        return None
+    for _ in range(4):
+        rm = occ.margins(e.ref_name, e.ref_range)
+        qm = occ.margins(e.query_name, e.query_range)
+        if rm is None or qm is None:
+            return None
+        if rm == (0, 0) and qm == (0, 0):
+            return e
+        # One axis per iteration: each trim consumes the other axis too,
+        # so its margins are recomputed before applying.
+        if rm != (0, 0):
+            lt, rt = rm
+        else:
+            # Absolute query margins map to columns by strand: the low
+            # end of a reverse row is the END of the columns.
+            if e.query_range.is_forward:
+                lt, rt = qm
+            else:
+                rt, lt = qm
+        axis = "ref" if rm != (0, 0) else "query"
+        if lt:
+            e = trim_entry_left(e, axis, lt)
+            if e is None:
+                return None
+        if rt:
+            e = trim_entry_right(e, axis, rt)
+            if e is None:
+                return None
+        if (
+            e.ref_range.length < min_length
+            or e.query_range.length < min_length
+        ):
+            return None
+    rm = occ.margins(e.ref_name, e.ref_range)
+    qm = occ.margins(e.query_name, e.query_range)
+    return e if rm == (0, 0) and qm == (0, 0) else None
+
+
 def select_consistent(
     entries: Iterable[DeltaEntry],
     min_length: int = 30,
@@ -173,7 +258,9 @@ def select_consistent(
     delta-filter -1 tiling role); candidates are adjacency chains rather
     than single entries, ranked by total aligned columns, so collinear
     runs are kept whole before isolated heavy entries claim their span.
-    A chain blocked by prior claims degrades member-by-member.
+    A chain blocked by prior claims degrades member-by-member, and a
+    member blocked only at its margins is trimmed to the free remainder
+    (`_trim_to_fit`) rather than dropped.
     """
     occ = _Occupancy()
     kept: list[DeltaEntry] = []
@@ -191,22 +278,22 @@ def select_consistent(
             and occ.free(e.query_name, e.query_range)
             for e in ch
         )
-        members = ch if whole else [
-            e
-            for e in sorted(ch, key=lambda e: -e.alignment_length())
-            if occ.free(e.ref_name, e.ref_range)
-            and occ.free(e.query_name, e.query_range)
-        ]
+        members = ch if whole else sorted(
+            ch, key=lambda e: -e.alignment_length()
+        )
         for e in members:
             # re-check: earlier members of this pass may have claimed
             # overlapping spans when degrading member-by-member
-            if whole or (
+            if not whole and not (
                 occ.free(e.ref_name, e.ref_range)
                 and occ.free(e.query_name, e.query_range)
             ):
-                occ.claim(e.ref_name, e.ref_range)
-                occ.claim(e.query_name, e.query_range)
-                kept.append(e)
+                e = _trim_to_fit(e, occ, min_length)
+                if e is None:
+                    continue
+            occ.claim(e.ref_name, e.ref_range)
+            occ.claim(e.query_name, e.query_range)
+            kept.append(e)
     kept.sort(key=lambda e: (e.ref_name, e.ref_range.abs().start))
     return kept, occ
 

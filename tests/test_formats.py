@@ -297,3 +297,68 @@ class TestTrimEntryLeft:
         assert trim_entry_left(self._entry(), "ref", 99) is None
         got = trim_entry_left(self._entry(), "ref", 0)
         assert got.ref_range == Range(11, 18)
+
+
+class TestTrimEntryRight:
+    """Column-space suffix trim (margin shaving in LCB selection)."""
+
+    def _entry(self, forward=True):
+        from paramugsy_tpu.formats.delta import DeltaEntry
+
+        # 10 columns: ref gap run at cols 3-4, query gap at col 7.
+        return DeltaEntry(
+            ref_name="R.c", query_name="Q.c", ref_len=100, query_len=100,
+            ref_range=Range(11, 18),
+            query_range=Range(21, 29) if forward else Range(29, 21),
+            ref_gaps=[Range(3, 4)], query_gaps=[Range(7, 7)],
+        )
+
+    def test_trim_ref(self):
+        from paramugsy_tpu.formats.delta import trim_entry_right
+
+        e = trim_entry_right(self._entry(), "ref", 3)
+        assert e.ref_range == Range(11, 15)
+        assert e.query_range == Range(21, 26)
+        assert e.ref_gaps == [Range(3, 4)] and e.query_gaps == [Range(7, 7)]
+        assert e.alignment_length() == 7
+
+    def test_trim_query_drops_own_gap_run(self):
+        from paramugsy_tpu.formats.delta import trim_entry_right
+
+        e = trim_entry_right(self._entry(), "query", 4)
+        # removes columns 6-10: query advances at 6,8,9,10; gap col 7 gone
+        assert e.ref_range == Range(11, 13)
+        assert e.query_range == Range(21, 25)
+        assert e.ref_gaps == [Range(3, 4)] and e.query_gaps == []
+        assert e.alignment_length() == 5
+
+    def test_trim_reverse_query(self):
+        from paramugsy_tpu.formats.delta import trim_entry_right
+
+        e = trim_entry_right(self._entry(forward=False), "ref", 3)
+        assert e.ref_range == Range(11, 15)
+        assert e.query_range == Range(29, 24)  # low end consumed
+
+    def test_trim_consumes_entry(self):
+        from paramugsy_tpu.formats.delta import trim_entry_right
+
+        assert trim_entry_right(self._entry(), "ref", 8) is None
+        assert trim_entry_right(self._entry(), "ref", 99) is None
+        got = trim_entry_right(self._entry(), "ref", 0)
+        assert got.ref_range == Range(11, 18)
+
+    def test_left_right_roundtrip_texts(self):
+        """Trimming 2 left then 3 right must keep rows renderable and
+        consistent (ranges match ungapped text lengths)."""
+        from paramugsy_tpu.formats.delta import (
+            trim_entry_left,
+            trim_entry_right,
+        )
+
+        e = trim_entry_right(trim_entry_left(self._entry(), "ref", 2), "ref", 3)
+        ncols = e.alignment_length()
+        assert e.ref_range.length == ncols - sum(g.length for g in e.ref_gaps)
+        assert (
+            e.query_range.length
+            == ncols - sum(g.length for g in e.query_gaps)
+        )

@@ -657,17 +657,21 @@ class TestLcbOptimalityGap:
             inst = self._instance(rng, int(rng.integers(8, 17)))
             _, opt = select_exact(inst)
             got = greedy_weight(inst)
-            assert got <= opt
             if opt:
                 ratios.append(got / opt)
         mean = sum(ratios) / len(ratios)
         worst = min(ratios)
-        # Measured on these seeded instances (2026-08-20): mean 0.965,
-        # median 1.000, worst 0.791, optimal on 24/40.  The asserts pin a
-        # regression floor, not the measurement; BENCH_NOTES carries the
-        # numbers.
-        assert mean > 0.93, f"mean greedy/optimal ratio {mean:.3f}"
-        assert worst > 0.70, f"worst greedy/optimal ratio {worst:.3f}"
+        # The exact solver optimizes SUBSET selection (keep or drop whole
+        # entries); the production greedy additionally margin-trims
+        # blocked entries (lcb.merge._trim_to_fit), realizing partial
+        # weight the subset formulation cannot — so ratios above 1.0 are
+        # expected, not a bug.  Measured on these seeded instances
+        # (2026-08-20, with trimming): mean 1.120, median 1.117, worst
+        # 0.941, >= subset-optimal on 39/40.  Without trimming (r4
+        # pre-fix): mean 0.965, worst 0.791.  The asserts pin a
+        # regression floor; BENCH_NOTES carries the numbers.
+        assert mean > 1.0, f"mean greedy/subset-optimal ratio {mean:.3f}"
+        assert worst > 0.90, f"worst greedy/subset-optimal ratio {worst:.3f}"
 
     def test_exact_solver_is_optimal_on_known_instance(self):
         """The classical heaviest-first trap (one big entry vs two
@@ -691,4 +695,67 @@ class TestLcbOptimalityGap:
         m2 = e(1600, 2200, 8000, 8600)           # w=601, ref-overlaps big
         kept, opt = select_exact([big, m1, m2])
         assert opt == 1202 and len(kept) == 2
-        assert greedy_weight([big, m1, m2]) == 1202  # chaining saves greedy
+        # The production greedy keeps the chained mediums (1202) AND the
+        # margin-trimmed sliver of big over the free ref gap [1501,1599]
+        # (99 bp) — beating the subset-only optimum.
+        assert greedy_weight([big, m1, m2]) == 1301
+
+
+class TestSelectMarginTrim:
+    """A blocked entry overlapping prior claims only at its margins is
+    trimmed to the free remainder instead of dropped whole (the fix that
+    recovered ~45 kb of core on the realistic fixture: 1-2 bp end
+    overlaps were discarding 24.8 kb and 12 kb entries)."""
+
+    @staticmethod
+    def _e(rs, re_, qs, qe, rn="r0.c", qn="q0.c"):
+        from paramugsy_tpu.formats.delta import DeltaEntry
+
+        return DeltaEntry(
+            ref_name=rn, query_name=qn, ref_len=10_000, query_len=10_000,
+            ref_range=Range(rs, re_),
+            query_range=Range(qs, qe),
+            ref_gaps=[], query_gaps=[],
+        )
+
+    def test_margin_overlap_trims_not_drops(self):
+        from paramugsy_tpu.lcb.merge import select_consistent
+
+        big = self._e(995, 3000, 995, 3000)  # heaviest, claims first
+        a = self._e(1, 1000, 1, 1000)  # 6 bp end overlap on both axes
+        kept, _ = select_consistent([big, a])
+        assert len(kept) == 2
+        trimmed = [e for e in kept if e.ref_range.start == 1][0]
+        assert trimmed.ref_range == Range(1, 994)
+        assert trimmed.query_range == Range(1, 994)
+
+    def test_reverse_entry_low_end_trim(self):
+        from paramugsy_tpu.lcb.merge import select_consistent
+
+        big = self._e(2000, 6000, 2000, 6000)
+        # reverse-strand entry whose ABSOLUTE query low end overlaps the
+        # claim by 3 bp: the low end of a reverse row is the END of its
+        # columns, so the trim must come off the right.
+        rev = self._e(100, 1100, 6998, 5998)
+        kept, _ = select_consistent([big, rev])
+        assert len(kept) == 2
+        r = [e for e in kept if not e.query_range.is_forward][0]
+        assert r.query_range.abs().start == 6001
+        assert r.ref_range.start == 100  # left (column-start) end intact
+
+    def test_interior_claim_still_drops(self):
+        from paramugsy_tpu.lcb.merge import select_consistent
+
+        big = self._e(400, 600, 5000, 5200)  # interior of a's ref span
+        big2 = self._e(1200, 3000, 6000, 7800)  # heavier, claims first
+        a = self._e(1, 1000, 1, 1000)
+        kept, _ = select_consistent([big2, big, a])
+        assert all(e.ref_range.start != 1 for e in kept)
+
+    def test_trim_below_min_length_drops(self):
+        from paramugsy_tpu.lcb.merge import select_consistent
+
+        big = self._e(40, 3000, 40, 3000)
+        a = self._e(1, 60, 1, 60)  # remainder after trim: 39 bp < 50
+        kept, _ = select_consistent([big, a], min_length=50)
+        assert len(kept) == 1
