@@ -427,6 +427,19 @@ def align_pair(
     return _finish_pair(chains, ref_np, query_np, ref_name, query_name, cfg)
 
 
+def _pad_row(size: int, cache: dict | None):
+    """Device-resident all-N pad row, memoized per size (the first
+    jnp.full of a new shape costs ~0.5 s of trace/cache-load on a
+    tunneled chip; padding shapes repeat across every batch group)."""
+    key = ("~pad", size)
+    if cache is not None and key in cache:
+        return cache[key]
+    arr = jnp.full((size,), 4, jnp.int8)
+    if cache is not None:
+        cache[key] = arr
+    return arr
+
+
 def align_pairs_batch(
     jobs: list[tuple],
     cfg: AlignConfig | None = None,
@@ -478,8 +491,8 @@ def align_pairs_batch(
         # sequences (no valid k-mers -> zero seeds, negligible compute).
         B = len(idxs)
         B_pad = 1 << (B - 1).bit_length()
-        pad_ref = jnp.full((rb,), 4, jnp.int8)
-        pad_query = jnp.full((qb,), 4, jnp.int8)
+        pad_ref = _pad_row(rb, device_cache)
+        pad_query = _pad_row(qb, device_cache)
         refs = jnp.stack(
             [device_codes(enc[i][0], device_cache, enc[i][2]) for i in idxs]
             + [pad_ref] * (B_pad - B)
@@ -668,38 +681,25 @@ def _fuse_window_pieces(
     return out
 
 
-def _align_pair_windowed(
+def window_pair_jobs(
     ref_np: np.ndarray,
     query_np: np.ndarray,
     ref_name: str,
     query_name: str,
     cfg: AlignConfig,
-    device_cache: dict | None = None,
-) -> list[DeltaEntry]:
-    """Sequence-axis decomposition for contigs beyond the seeding window.
+) -> tuple[list[tuple], list[tuple]]:
+    """(jobs, meta) for the window-pair grid of one long pair.
 
-    All (ref window x query window) pairs are aligned; an entry is kept
-    iff both its midpoints fall in the pair's cores, so every locus is
-    reported by exactly one window pair (no duplicates).  Pieces of one
-    alignment truncated at window boundaries are stitched back into
-    single entries by `_fuse_window_pieces`.
-    """
-    import dataclasses
-
-    n_r, n_q = len(ref_np), len(query_np)
-    # Inner calls never recurse and never post-filter (global filters need
-    # the full entry set).
-    sub = dataclasses.replace(cfg, window=1 << 62, post_filter=None)
-    # Window slices are keyed by their offset so each uploads once even
-    # though it participates in many window pairs.  The window-pair grid
-    # itself batches through align_pairs_batch: the sequence axis rides
-    # the same one-dispatch-per-chunk economics as the pair axis (P7 via
-    # P1; SURVEY section 5.7).
-    cache = device_cache if device_cache is not None else {}
-    r_wins = _windows(n_r, cfg)
-    q_wins = _windows(n_q, cfg)
-    jobs = []
-    meta = []
+    Each job is an ordinary (ref_slice, query_slice, name, name) pairwise
+    job no longer than ``cfg.window``, so the sequence axis can ride any
+    pair-axis execution path — the local batched dispatch or the
+    multi-chip sharded phase (P7 via P1, SURVEY section 5.7).
+    ``assemble_windowed`` turns the per-job results back into one entry
+    list."""
+    r_wins = _windows(len(ref_np), cfg)
+    q_wins = _windows(len(query_np), cfg)
+    jobs: list[tuple] = []
+    meta: list[tuple] = []
     for rw0, rw1, rc0, rc1 in r_wins:
         for qw0, qw1, qc0, qc1 in q_wins:
             jobs.append(
@@ -709,7 +709,27 @@ def _align_pair_windowed(
                 )
             )
             meta.append((rw0, rc0, rc1, qw0, qc0, qc1))
-    per_job = align_pairs_batch(jobs, sub, cache)
+    return jobs, meta
+
+
+def assemble_windowed(
+    per_job: list[list[DeltaEntry]],
+    meta: list[tuple],
+    ref_np: np.ndarray,
+    query_np: np.ndarray,
+    ref_name: str,
+    query_name: str,
+    cfg: AlignConfig,
+) -> list[DeltaEntry]:
+    """Window-pair results -> one pair's entries (midpoint dedup + fuse).
+
+    An entry is kept iff both its midpoints fall in the window pair's
+    cores, so every locus is reported by exactly one window pair (no
+    duplicates); pieces of one alignment truncated at window boundaries
+    are stitched back into single entries by `_fuse_window_pieces`."""
+    import dataclasses
+
+    n_r, n_q = len(ref_np), len(query_np)
     entries: list[DeltaEntry] = []
     for (rw0, rc0, rc1, qw0, qc0, qc1), got in zip(meta, per_job):
         for e in got:
@@ -740,6 +760,37 @@ def _align_pair_windowed(
     elif cfg.post_filter == "colinear":
         entries = filter_colinear(entries)
     return entries
+
+
+def windowed_sub_config(cfg: AlignConfig) -> AlignConfig:
+    """Config for window sub-jobs: never recurse, never post-filter
+    (global filters need the full entry set)."""
+    import dataclasses
+
+    return dataclasses.replace(cfg, window=1 << 62, post_filter=None)
+
+
+def _align_pair_windowed(
+    ref_np: np.ndarray,
+    query_np: np.ndarray,
+    ref_name: str,
+    query_name: str,
+    cfg: AlignConfig,
+    device_cache: dict | None = None,
+) -> list[DeltaEntry]:
+    """Sequence-axis decomposition for contigs beyond the seeding window.
+
+    The window-pair grid batches through align_pairs_batch: the sequence
+    axis rides the same one-dispatch-per-chunk economics as the pair
+    axis.  Window slices are keyed by their offset so each uploads once
+    even though it participates in many window pairs.
+    """
+    cache = device_cache if device_cache is not None else {}
+    jobs, meta = window_pair_jobs(ref_np, query_np, ref_name, query_name, cfg)
+    per_job = align_pairs_batch(jobs, windowed_sub_config(cfg), cache)
+    return assemble_windowed(
+        per_job, meta, ref_np, query_np, ref_name, query_name, cfg
+    )
 
 
 def align_self(

@@ -182,14 +182,25 @@ def sharded_genome_pair_deltas(
     own devices (the host tail scales 1/hosts; round 2 replicated it per
     host after an all_gather), then the finished delta entries — two
     orders of magnitude smaller than the packed seeds — are exchanged
-    with one host-level all-gather.  Jobs that exceed the windowing limit
-    or overflow the seed bucket fall back to the local single-pair path
-    on the process that owns their row.
+    with one host-level all-gather.
+
+    Contigs beyond the windowing limit decompose into window-pair
+    sub-jobs that ride the SAME sharded batch (the sequence axis sharded
+    over chips, P7 via P1; SURVEY section 5.7): every host receives all
+    pieces in the entry exchange and deterministically midpoint-dedups +
+    junction-fuses them back into single entries (`assemble_windowed`).
+    Jobs that overflow the seed bucket fall back to the local single-pair
+    path on the process that owns their row.
     """
     import pickle
 
     import jax as _jax
 
+    from paramugsy_tpu.ops.align_pair import (
+        assemble_windowed,
+        window_pair_jobs,
+        windowed_sub_config,
+    )
     from paramugsy_tpu.ops.encode import bucket_size, encode
     from paramugsy_tpu.ops.seeding import unpack_seed_clusters
     from paramugsy_tpu.parallel.pair_shard import make_sharded_packed_pair_step
@@ -203,8 +214,8 @@ def sharded_genome_pair_deltas(
                 owners.append(t)
 
     enc = []
-    singles: list[int] = []
     batched: list[int] = []
+    long_jobs: list[int] = []
     for idx, (ref_seq, query_seq, rn, qn) in enumerate(jobs):
         ref_np = ref_seq if isinstance(ref_seq, np.ndarray) else encode(ref_seq)
         query_np = (
@@ -212,32 +223,51 @@ def sharded_genome_pair_deltas(
         )
         enc.append((ref_np, query_np, rn, qn))
         if max(len(ref_np), len(query_np)) > cfg.window:
-            singles.append(idx)
+            long_jobs.append(idx)
         else:
             batched.append(idx)
 
-    # Long (windowed) jobs are partitioned round-robin across processes;
-    # their finished entries ride the same exchange as the batched rows.
+    # Long contigs: expand into window-pair sub-jobs sharded like any
+    # other row.  Sub-rows index past len(jobs) in the result/exchange
+    # space; win_meta maps each long job to its sub-row span.
+    sub_cfg = windowed_sub_config(cfg)
+    sub_enc: list[tuple] = []
+    win_meta: dict[int, tuple[list[tuple], int, int]] = {}
+    for idx in long_jobs:
+        ref_np, query_np, rn, qn = enc[idx]
+        wjobs, wmeta = window_pair_jobs(ref_np, query_np, rn, qn, cfg)
+        base = len(jobs) + len(sub_enc)
+        sub_enc.extend(wjobs)
+        win_meta[idx] = (wmeta, base, len(wjobs))
+
+    def row_data(row_idx: int) -> tuple:
+        """(ref_np, query_np, rn, qn, finish_cfg) for a batch row."""
+        if row_idx < len(jobs):
+            return (*enc[row_idx], cfg)
+        return (*sub_enc[row_idx - len(jobs)], sub_cfg)
+
+    all_rows = batched + list(range(len(jobs), len(jobs) + len(sub_enc)))
     proc, n_proc = _jax.process_index(), _jax.process_count()
     local_results: dict[int, list[DeltaEntry]] = {}
-    if batched:
+    if all_rows:
         # One shared bucket across the whole phase: shard_map needs one
         # static shape, and genome lengths within a run are comparable.
-        rb = max(bucket_size(len(enc[i][0])) for i in batched)
-        qb = max(bucket_size(len(enc[i][1])) for i in batched)
+        rb = max(bucket_size(len(row_data(i)[0])) for i in all_rows)
+        qb = max(bucket_size(len(row_data(i)[1])) for i in all_rows)
         n_dev = mesh.devices.size
-        B = -(-len(batched) // n_dev) * n_dev
+        B = -(-len(all_rows) // n_dev) * n_dev
         refs = np.full((B, rb), 4, dtype=np.int8)
         queries = np.full((B, qb), 4, dtype=np.int8)
         q_lens = np.zeros(B, dtype=np.int32)
-        for row, i in enumerate(batched):
-            ref_np, query_np, _, _ = enc[i]
+        for row, i in enumerate(all_rows):
+            ref_np, query_np, _, _, _ = row_data(i)
             refs[row, : len(ref_np)] = ref_np
             queries[row, : len(query_np)] = query_np
             q_lens[row] = len(query_np)
-        from paramugsy_tpu.ops.align_pair import initial_max_seeds
-
-        from paramugsy_tpu.ops.align_pair import resolve_sample_shift
+        from paramugsy_tpu.ops.align_pair import (
+            initial_max_seeds,
+            resolve_sample_shift,
+        )
 
         max_seeds = initial_max_seeds(cfg, rb, qb)
         shift = resolve_sample_shift(cfg, rb, qb)
@@ -262,32 +292,27 @@ def sharded_genome_pair_deltas(
             packed_local = np.asarray(shard.data)
             for r in range(packed_local.shape[0]):
                 row = row0 + r
-                if row >= len(batched):
+                if row >= len(all_rows):
                     continue  # padding row
-                i = batched[row]
+                i = all_rows[row]
                 _, n_runs, samp_over, strands = unpack_seed_clusters(
                     packed_local[r], max_seeds, cfg.max_clusters
                 )
-                ref_np, query_np, rn, qn = enc[i]
+                ref_np, query_np, rn, qn, fin_cfg = row_data(i)
                 if samp_over or n_runs > len(strands[0].seed_rpos):
                     # overflow: local retry path (owner's host)
                     local_results[i] = align_pair(
-                        ref_np, query_np, rn, qn, cfg, device_cache
+                        ref_np, query_np, rn, qn, fin_cfg, device_cache
                     )
                     continue
-                chains = _chains_of_strands(strands, cfg)
+                chains = _chains_of_strands(strands, fin_cfg)
                 local_results[i] = _finish_pair(
-                    chains, ref_np, query_np, rn, qn, cfg
+                    chains, ref_np, query_np, rn, qn, fin_cfg
                 )
 
-    for k_s, i in enumerate(singles):
-        if k_s % n_proc != proc:
-            continue
-        ref_np, query_np, rn, qn = enc[i]
-        local_results[i] = align_pair(ref_np, query_np, rn, qn, cfg, device_cache)
-
-    # Exchange finished entries (job idx -> entries), host collective.
-    results: list = [None] * len(jobs)
+    # Exchange finished entries (row idx -> entries), host collective.
+    n_total = len(jobs) + len(sub_enc)
+    results: list = [None] * n_total
     if n_proc > 1:
         blob = pickle.dumps(local_results, protocol=pickle.HIGHEST_PROTOCOL)
         for other in _exchange_blobs(blob):
@@ -296,11 +321,24 @@ def sharded_genome_pair_deltas(
     else:
         for i, entries in local_results.items():
             results[i] = entries
-    missing = [i for i, r in enumerate(results) if r is None]
+
+    # Assemble long jobs from their sub-rows — every host holds every
+    # piece post-exchange, so assembly is replicated and deterministic.
+    for idx, (wmeta, base, n_sub) in win_meta.items():
+        pieces = results[base : base + n_sub]
+        missing_sub = [base + t for t, p in enumerate(pieces) if p is None]
+        assert not missing_sub, (
+            f"window sub-jobs never finished on any host: {missing_sub[:5]}"
+        )
+        ref_np, query_np, rn, qn = enc[idx]
+        results[idx] = assemble_windowed(
+            pieces, wmeta, ref_np, query_np, rn, qn, cfg
+        )
+    missing = [i for i, r in enumerate(results[: len(jobs)]) if r is None]
     assert not missing, f"pair jobs never finished on any host: {missing[:5]}"
 
     out: list[list[DeltaEntry]] = [[] for _ in genome_pairs]
-    for t, entries in zip(owners, results):
+    for t, entries in zip(owners, results[: len(jobs)]):
         out[t].extend(entries)
     return out
 

@@ -123,3 +123,45 @@ class TestShardedEndToEnd:
         for node in tree.walk():
             for p in node.pairwise():
                 assert p in pairs
+
+
+class TestShardedWindowing:
+    """Contigs beyond cfg.window decompose into window-pair sub-jobs that
+    ride the SAME sharded batch (P7 via P1, SURVEY section 5.7): pieces
+    come back through the entry exchange and every host fuses them
+    deterministically.  Must match the local windowed path exactly."""
+
+    def test_long_contig_matches_local_windowed(self):
+        import dataclasses
+
+        from paramugsy_tpu.pipeline import genome_pair_deltas
+
+        mesh = _mesh()
+        # One contig pair above the (shrunk) window, one below: the batch
+        # mixes ordinary rows and window sub-rows.
+        rng = np.random.default_rng(91)
+        bases = np.array(list("ACGT"))
+        anc = rng.integers(0, 4, size=6000)
+        seqs = []
+        for i in range(2):
+            g = anc.copy()
+            m = rng.random(len(g)) < 0.01
+            g[m] = (g[m] + 1) % 4
+            seqs.append("".join(bases[g]))
+        short = "".join(bases[rng.integers(0, 4, size=1500)])
+        genomes = [
+            Genome(name="gA", seqs={"gA.chr": seqs[0]}),
+            Genome(name="gB", seqs={"gB.chr": seqs[1], "gB.p": short}),
+        ]
+        cfg = dataclasses.replace(
+            AlignConfig(), window=2048, window_overlap=512
+        )
+        sharded = sharded_genome_pair_deltas(
+            [(genomes[0], genomes[1])], cfg, mesh
+        )
+        want = genome_pair_deltas(genomes[0], genomes[1], cfg)
+        assert sharded[0] == want
+        # the long pair must produce a single fused entry spanning the
+        # window boundary, like the local path does
+        chr_entries = [e for e in sharded[0] if e.query_name == "gB.chr"]
+        assert any(e.ref_range.length > 2048 for e in chr_entries)
