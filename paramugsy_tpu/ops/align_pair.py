@@ -75,6 +75,22 @@ class RawChain:
 
     seeds: np.ndarray  # [n, 3] rpos, qpos, len; sorted, non-overlapping
     reverse: bool
+    # Part-split gap threshold the chain was built with (break_len scaled
+    # by the seeding sample density; see `effective_break`).
+    break_len: int = 200
+
+
+def effective_break(cfg: AlignConfig, shift: int) -> int:
+    """Part-split / chain-join gap threshold, scaled by sample density.
+
+    Under content-hash sampling, anchors exist only at sampled k-mer
+    positions (~2^shift x sparser), so inter-anchor gaps routinely exceed
+    the nucmer-compatible ``break_len`` even where the true alignment is
+    continuous — splitting entries and fragmenting downstream LCBs
+    (measured: 41 vs 18 blocks on a 16-genome family).  The internal
+    threshold scales with density; the user's ``break_len`` knob keeps
+    its nucmer meaning for exact seeding."""
+    return cfg.break_len << shift
 
 
 def initial_max_seeds(cfg: AlignConfig, n_ref: int, n_q: int) -> int:
@@ -172,11 +188,15 @@ def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
         max_seeds = min(
             cfg.max_seeds_cap, max(max_seeds * 2, 1 << (n_runs - 1).bit_length())
         )
-    return _chains_of_strands(strands, cfg)
+    return _chains_of_strands(strands, cfg, effective_break(cfg, shift))
 
 
-def _chains_of_strands(strands, cfg: AlignConfig) -> list["RawChain"]:
+def _chains_of_strands(
+    strands, cfg: AlignConfig, eff_break: int | None = None
+) -> list["RawChain"]:
     """Per-strand clustered seeds -> chained, monotone anchor sets."""
+    if eff_break is None:
+        eff_break = cfg.break_len
     out: list[RawChain] = []
     for reverse, cl in zip((False, True), strands):
         cmask = cl.c_mask.copy()
@@ -188,7 +208,7 @@ def _chains_of_strands(strands, cfg: AlignConfig) -> list["RawChain"]:
             cl.c_qstart[idx],
             cl.c_qend[idx],
             cl.c_weight[idx],
-            max_join_gap=cfg.break_len,
+            max_join_gap=eff_break,
             min_chain_weight=cfg.min_cluster,
         )
         s_rpos, s_qpos, s_len = cl.seed_rpos, cl.seed_qpos, cl.seed_len
@@ -214,7 +234,9 @@ def _chains_of_strands(strands, cfg: AlignConfig) -> list["RawChain"]:
             order = np.lexsort((rp, qp))
             rows = _trim_monotone(rp[order], qp[order], ln[order])
             if len(rows):
-                out.append(RawChain(seeds=rows, reverse=reverse))
+                out.append(
+                    RawChain(seeds=rows, reverse=reverse, break_len=eff_break)
+                )
     return out
 
 
@@ -252,6 +274,34 @@ def _trim_monotone(rp: np.ndarray, qp: np.ndarray, ln: np.ndarray) -> np.ndarray
     return np.array(rows, dtype=np.int64) if rows else np.empty((0, 3), dtype=np.int64)
 
 
+def _extend_left(
+    ref_np: np.ndarray, query_np: np.ndarray, r0: int, q0: int, cap: int = 4096
+) -> int:
+    """Bases to extend a match leftward from (r0, q0) exclusive: the run
+    of equal, non-N codes immediately before both positions."""
+    m = min(r0, q0, cap)
+    if m <= 0:
+        return 0
+    a = ref_np[r0 - m : r0]
+    b = query_np[q0 - m : q0]
+    eq = (a == b) & (a < 4)
+    rev = eq[::-1]
+    return int(np.argmin(rev)) if not rev.all() else m
+
+
+def _extend_right(
+    ref_np: np.ndarray, query_np: np.ndarray, r1: int, q1: int, cap: int = 4096
+) -> int:
+    """Bases to extend a match rightward from (r1, q1) inclusive ends."""
+    m = min(len(ref_np) - r1 - 1, len(query_np) - q1 - 1, cap)
+    if m <= 0:
+        return 0
+    a = ref_np[r1 + 1 : r1 + 1 + m]
+    b = query_np[q1 + 1 : q1 + 1 + m]
+    eq = (a == b) & (a < 4)
+    return int(np.argmin(eq)) if not eq.all() else m
+
+
 def _entries_of_chain(
     chain: RawChain,
     ref_np: np.ndarray,
@@ -271,16 +321,36 @@ def _entries_of_chain(
     n = len(seeds)
     rp, qp, ln = seeds[:, 0], seeds[:, 1], seeds[:, 2]
     rend, qend = rp + ln - 1, qp + ln - 1
-    # Split chain where inter-seed gaps exceed break_len: brk[i] = True
+    # Split chain where inter-seed gaps exceed the chain's break
+    # threshold (break_len scaled by sample density): brk[i] = True
     # means a new part starts at seed i+1.
     if n > 1:
         gap_r = rp[1:] - rend[:-1] - 1
         gap_q = qp[1:] - qend[:-1] - 1
-        brk = np.maximum(gap_r, gap_q) > cfg.break_len
+        brk = np.maximum(gap_r, gap_q) > chain.break_len
     else:
         brk = np.zeros(0, dtype=bool)
     starts = np.concatenate(([0], np.flatnonzero(brk) + 1))  # part = [start, next)
     ends = np.concatenate((starts[1:], [n]))
+
+    # Maximal end extension of each part: under sampled seeding, runs
+    # are bounded by the outermost SAMPLED k-mer, not the true match end
+    # — the unanchored flanks (1-2^shift bp at every entry end) otherwise
+    # shed tiny unique slivers at every merge level (measured: 40 scrap
+    # blocks of 1-14 cols around one 500 kb 16-way block).  Extend the
+    # boundary seeds outward while bases match, like nucmer's maximal
+    # matches.
+    for f, l in zip(starts.tolist(), (ends - 1).tolist()):
+        t = _extend_left(ref_np, query_np, int(rp[f]), int(qp[f]))
+        if t:
+            rp[f] -= t
+            qp[f] -= t
+            ln[f] += t
+        t = _extend_right(ref_np, query_np, int(rend[l]), int(qend[l]))
+        if t:
+            ln[l] += t
+            rend[l] += t
+            qend[l] += t
 
     # Segments (inter-seed gaps inside a part): seed index i has a segment
     # against seed i-1 iff no break there.  Batched alignment in seg order,
@@ -524,7 +594,7 @@ def align_pairs_batch(
                 singles.append(i)  # overflow: single-pair retry path
                 continue
             ref_np, query_np, rn, qn = enc[i]
-            chains = _chains_of_strands(strands, cfg)
+            chains = _chains_of_strands(strands, cfg, effective_break(cfg, shift))
             results[i] = _finish_pair(chains, ref_np, query_np, rn, qn, cfg)
 
     for i in singles:

@@ -46,6 +46,7 @@ from paramugsy_tpu.ops.align_pair import (
     _chains_of_strands,
     _finish_pair,
     align_pair,
+    effective_break,
 )
 
 
@@ -305,7 +306,9 @@ def sharded_genome_pair_deltas(
                         ref_np, query_np, rn, qn, fin_cfg, device_cache
                     )
                     continue
-                chains = _chains_of_strands(strands, fin_cfg)
+                chains = _chains_of_strands(
+                    strands, fin_cfg, effective_break(fin_cfg, shift)
+                )
                 local_results[i] = _finish_pair(
                     chains, ref_np, query_np, rn, qn, fin_cfg
                 )
