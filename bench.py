@@ -195,7 +195,26 @@ def bench_quality(rng, n):
     }
 
 
+def _watchdog_no_headline() -> None:
+    # A wedged device tunnel hangs even jax.devices() (observed
+    # 2026-08-20, BENCH_NOTES outage note): without this, the driver
+    # records a bare rc=124 with no diagnosis.
+    print(
+        f"BENCH WATCHDOG: no headline after {BUDGET_S + 60:.0f}s — device "
+        "init hang or compile storm; aborting (steady-state perf is NOT "
+        "measurable in this environment state).",
+        flush=True,
+    )
+    os._exit(3)
+
+
 def main() -> None:
+    import threading
+
+    watchdog = threading.Timer(BUDGET_S + 60, _watchdog_no_headline)
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
 
     from paramugsy_tpu.utils.cache import enable_compilation_cache
@@ -241,6 +260,13 @@ def main() -> None:
     }
     # THE driver line: printed before any extra can time the round out.
     print(json.dumps(line), flush=True)
+    watchdog.cancel()
+    # Post-headline guard: a device hang inside an extra must not turn an
+    # already-recorded headline into an rc=124.  The headline line is on
+    # stdout; exiting cleanly keeps it parseable.
+    tail_guard = threading.Timer(max(remaining(), 0) + 60, os._exit, (0,))
+    tail_guard.daemon = True
+    tail_guard.start()
 
     # ---- strictly budgeted extras (each skipped, never partial;
     # ordered by information value, measured cost in parens) -------------
