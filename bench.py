@@ -26,8 +26,8 @@ compilation-cache loads.
 Baselines (see benchmarks/BENCH_NOTES.md "Baseline provenance"):
 * ``vs_baseline`` compares against a MEASURED single-core host-CPU run of
   this same pipeline on this same pair (taskset -c 0, JAX_PLATFORMS=cpu,
-  PARAMUGSY_DEVICE_DP=0): 1.35 Mbp/s on this machine, 2026-08-20, commit
-  5eb5670.  That is the strongest host baseline available in this
+  PARAMUGSY_DEVICE_DP=0): 1.49 Mbp/s on this machine, 2026-08-21.
+  That is the strongest host baseline available in this
   environment (all-cores matches it — 2-core machine, XLA sort-bound).
 * The reference's own aligner is external MUMmer ``nucmer`` (not present
   here, no egress to fetch it); literature timings for bacterial-scale
@@ -57,15 +57,16 @@ import numpy as np
 T_START = time.monotonic()
 BUDGET_S = float(os.environ.get("PARAMUGSY_BENCH_BUDGET", "480"))
 
-# Measured on this machine (2026-08-20, commit 5eb5670, benchmarks/
+# Measured on this machine (2026-08-21, commit 42fe58f+, benchmarks/
 # baseline_host.py): same pipeline, one CPU core (taskset -c 0,
 # JAX_PLATFORMS=cpu, PARAMUGSY_DEVICE_DP=0), same pair, best of 3 after
-# warm-up.  Sampled seeding (the default) is also the fastest host
-# config (exact seeding: 0.4 Mbp/s); all-cores is identical (2-core
-# machine, XLA sort-bound), so this is the strongest host number
+# warm-up, with the platform-adaptive compaction keeping the CPU path on
+# its fastest (scatter) form.  Sampled seeding (the default) is also the
+# fastest host config (exact seeding: 0.4 Mbp/s); all-cores is identical
+# (2-core machine, XLA sort-bound), so this is the strongest host number
 # available here.  Supersedes the 5.4 recorded 2026-08-19, which is not
 # reproducible on this machine with strict 1-core pinning on any config.
-BASELINE_HOST_1CORE_MBP_PER_S = 1.35
+BASELINE_HOST_1CORE_MBP_PER_S = 1.49
 # Literature-derived nucmer-class estimate (NOT measured here): MUMmer-
 # family aligners run bacterial pairs in tens of seconds single-core.
 NUCMER_CLASS_MBP_PER_S_ESTIMATE = 0.3

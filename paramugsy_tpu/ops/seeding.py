@@ -296,18 +296,38 @@ def find_seeds_both(
             keep = keep & ~invalid_b
             # Static compacted size: mean density + 25% headroom.
             B = ((n >> sample_shift) + (n >> (sample_shift + 2)) + 1023) & ~1023
-            pos_c = jnp.cumsum(keep.astype(jnp.int32)) - 1
-            n_samp = pos_c[-1] + 1
+            B = min(B, n)
+            n_samp = jnp.sum(keep.astype(jnp.int32))
             samp_over = (n_samp > B).astype(jnp.int32)
-            dst = jnp.where(keep, pos_c, B)  # out of range -> dropped
-            key1 = (
-                jnp.full((B,), jnp.uint32(1 << 30))
-                .at[dst]
-                .set(key1, mode="drop")
-            )
-            packed = jnp.zeros((B,), jnp.int32).at[dst].set(packed, mode="drop")
+            if jax.default_backend() == "tpu":
+                # Compaction-by-slice: dropped k-mers get the sentinel
+                # bit and sort to the tail; the kept prefix is a static
+                # slice.  On TPU the cumsum + scatter compaction cost
+                # ~40 ms on a 4.2M join — 4x the full-size sort it was
+                # saving (XLA:TPU scatter serializes).
+                key1 = jnp.where(
+                    keep, codes_all, codes_all | jnp.uint32(1 << 30)
+                )
+                key1, packed = lax.sort((key1, packed), num_keys=1)
+                key1 = lax.slice_in_dim(key1, 0, B)
+                packed = lax.slice_in_dim(packed, 0, B)
+            else:
+                # On CPU the scatter is cheap and the full-size sort is
+                # not: compact first, sort the 2^shift-smaller buffer.
+                pos_c = jnp.cumsum(keep.astype(jnp.int32)) - 1
+                dst = jnp.where(keep, pos_c, B)  # out of range -> dropped
+                key1 = (
+                    jnp.full((B,), jnp.uint32(1 << 30))
+                    .at[dst]
+                    .set(key1, mode="drop")
+                )
+                packed = jnp.zeros((B,), jnp.int32).at[dst].set(
+                    packed, mode="drop"
+                )
+                key1, packed = lax.sort((key1, packed), num_keys=1)
             n = B
-        key1, packed = lax.sort((key1, packed), num_keys=1)
+        else:
+            key1, packed = lax.sort((key1, packed), num_keys=1)
         valid = key1 < (1 << 30)
         same_code = key1 == jnp.roll(key1, 1)
     else:
