@@ -19,6 +19,7 @@ via counts so callers can re-bucket.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -201,10 +202,24 @@ class SeedMatches2(NamedTuple):
     samp_over: jnp.ndarray  # int32 [] 1 = sample buffer overflowed (redo unsampled)
 
 
+def _slice_compaction_default() -> bool:
+    """Sampling-compaction form: sort-then-slice on TPU (scatter
+    serializes there), scatter-then-sort on CPU (the full-size sort is
+    the expensive thing there).  PARAMUGSY_COMPACTION=slice|scatter
+    overrides (tests exercise both forms on CPU)."""
+    mode = os.environ.get("PARAMUGSY_COMPACTION")
+    if mode == "slice":
+        return True
+    if mode == "scatter":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "k", "max_seeds", "unique_in_query", "sample_shift", "merge_gap",
+        "compact_slice",
     ),
 )
 def find_seeds_both(
@@ -217,6 +232,7 @@ def find_seeds_both(
     unique_in_query: bool = False,
     sample_shift: int = 0,
     merge_gap: int | None = None,
+    compact_slice: bool | None = None,
 ) -> SeedMatches2:
     """Both-strand variant of `find_seeds` via one canonical-k-mer join.
 
@@ -299,7 +315,11 @@ def find_seeds_both(
             B = min(B, n)
             n_samp = jnp.sum(keep.astype(jnp.int32))
             samp_over = (n_samp > B).astype(jnp.int32)
-            if jax.default_backend() == "tpu":
+            if (
+                compact_slice
+                if compact_slice is not None
+                else _slice_compaction_default()
+            ):
                 # Compaction-by-slice: dropped k-mers get the sentinel
                 # bit and sort to the tail; the kept prefix is a static
                 # slice.  On TPU the cumsum + scatter compaction cost

@@ -708,3 +708,40 @@ class TestSampledEndExtension:
         refn = np.array([4, 0, 1], np.int8)
         qryn = np.array([4, 0, 1], np.int8)
         assert _extend_left(refn, qryn, 1, 1) == 0
+
+
+class TestCompactionForms:
+    """The two sampling-compaction forms (sort-then-slice, the TPU
+    default; scatter-then-sort, the CPU default) must produce identical
+    seeds — the slice form otherwise runs only on hardware and would
+    have zero CI coverage."""
+
+    def test_slice_equals_scatter(self):
+        import jax
+        import jax.numpy as jnp
+
+        from paramugsy_tpu.ops.encode import encode
+        from paramugsy_tpu.ops.seeding import find_seeds_both
+
+        rng = np.random.default_rng(41)
+        n = 30_000
+        ref = rand_dna(rng, n)
+        q = list(ref)
+        for i in rng.choice(n, n // 100, replace=False):
+            q[i] = "ACGT"[rng.integers(4)]
+        ref_c = jnp.asarray(encode(ref))
+        q_c = jnp.asarray(encode("".join(q)))
+        outs = {}
+        for mode in (True, False):
+            s = find_seeds_both(
+                ref_c, q_c, jnp.int32(n),
+                k=15, max_seeds=4096, sample_shift=2, compact_slice=mode,
+            )
+            outs[mode] = jax.tree.map(np.asarray, s)
+        a, b = outs[True], outs[False]
+        assert int(a.n_runs) == int(b.n_runs) and int(a.n_runs) > 0
+        assert int(a.samp_over) == int(b.samp_over) == 0
+        for f in ("rpos", "qpos", "length", "reverse", "mask"):
+            np.testing.assert_array_equal(
+                getattr(a, f), getattr(b, f), err_msg=f
+            )
