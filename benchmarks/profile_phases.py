@@ -17,6 +17,7 @@ from paramugsy_tpu.ops.align_pair import (
     _finish_pair,
     device_codes,
     initial_max_seeds,
+    resolve_sample_shift,
 )
 from paramugsy_tpu.ops.encode import revcomp_codes_np
 from paramugsy_tpu.ops.seeding import (
@@ -35,11 +36,14 @@ ref_d = device_codes(ref, cache, "r")
 query_d = device_codes(query, cache, "q")
 max_seeds = initial_max_seeds(cfg, ref_d.shape[0], query_d.shape[0])
 
+shift = resolve_sample_shift(cfg, ref_d.shape[0], query_d.shape[0])
 kw = dict(
     k=cfg.k, max_seeds=max_seeds, unique_in_query=cfg.unique_in_query,
     min_match=cfg.min_match, band=cfg.band, max_gap=cfg.max_gap,
-    max_clusters=cfg.max_clusters,
+    max_clusters=cfg.max_clusters, sample_shift=shift,
+    merge_gap=cfg.seed_merge_gap,
 )
+print(f"sample_shift={shift} max_seeds={max_seeds}", flush=True)
 
 # warm
 packed_dev = seed_cluster_both_packed(ref_d, query_d, None, jnp.int32(len(query)), **kw)
@@ -52,7 +56,7 @@ for rep in range(3):
     t1 = time.perf_counter()
     packed = np.asarray(packed_dev)
     t2 = time.perf_counter()
-    n_raw, n_runs, _samp_over, strands = unpack_seed_clusters(packed, max_seeds, cfg.max_clusters)
+    n_raw, n_runs, _samp_over, _mc, strands = unpack_seed_clusters(packed, max_seeds, cfg.max_clusters)
     t3 = time.perf_counter()
     chains = _chains_of_strands(strands, cfg)
     t4 = time.perf_counter()

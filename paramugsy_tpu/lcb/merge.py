@@ -429,39 +429,47 @@ def merge_blocks(
     chain_gap: int = 1000,
 ) -> list[MafBlock]:
     """Merge two alignment levels through genome-space pairwise deltas."""
-    lps, lcons = make_profiles_mem(left_blocks, basename_left)
-    rps, rcons = make_profiles_mem(right_blocks, basename_right)
+    from paramugsy_tpu.utils.obs import METRICS
 
-    translated = translate_deltas(lps, rps, genome_deltas)
-    kept, occ = select_consistent(
-        translated, min_length=min_length, chain_gap=chain_gap
-    )
-    kept = bridge_adjacent(kept, occ, lcons, rcons, max_gap=chain_gap)
+    with METRICS.phase("merge.profiles", items=len(left_blocks) + len(right_blocks)):
+        lps, lcons = make_profiles_mem(left_blocks, basename_left)
+        rps, rcons = make_profiles_mem(right_blocks, basename_right)
 
-    out = list(delta_to_maf_blocks(kept, lcons, rcons))
+    with METRICS.phase("merge.translate"):
+        translated = list(translate_deltas(lps, rps, genome_deltas))
+    with METRICS.phase("merge.select", items=len(translated)):
+        kept, occ = select_consistent(
+            translated, min_length=min_length, chain_gap=chain_gap
+        )
+    with METRICS.phase("merge.bridge", items=len(kept)):
+        kept = bridge_adjacent(kept, occ, lcons, rcons, max_gap=chain_gap)
 
-    if emit_unique:
-        for cons in (lcons, rcons):
-            for major, text in cons.items():
-                for s, e in occ.uncovered(major, len(text)):
-                    out.append(
-                        MafBlock(
-                            seqs=[
-                                MafSequence(
-                                    name=major,
-                                    start=s - 1,
-                                    size=e - s + 1,
-                                    strand=FORWARD,
-                                    src_size=len(text),
-                                    text=text[s - 1 : e],
-                                )
-                            ],
-                            score=0,
-                            attrs={"label": "1", "mult": "1"},
+    with METRICS.phase("merge.emit"):
+        out = list(delta_to_maf_blocks(kept, lcons, rcons))
+
+        if emit_unique:
+            for cons in (lcons, rcons):
+                for major, text in cons.items():
+                    for s, e in occ.uncovered(major, len(text)):
+                        out.append(
+                            MafBlock(
+                                seqs=[
+                                    MafSequence(
+                                        name=major,
+                                        start=s - 1,
+                                        size=e - s + 1,
+                                        strand=FORWARD,
+                                        src_size=len(text),
+                                        text=text[s - 1 : e],
+                                    )
+                                ],
+                                score=0,
+                                attrs={"label": "1", "mult": "1"},
+                            )
                         )
-                    )
 
-    merged = list(untranslate_blocks(lps + rps, out))
+    with METRICS.phase("merge.untranslate", items=len(out)):
+        merged = list(untranslate_blocks(lps + rps, out))
     if refine:
         from paramugsy_tpu.lcb.refine import refine_blocks
 

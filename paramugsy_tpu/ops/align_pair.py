@@ -118,6 +118,25 @@ def initial_max_seeds(cfg: AlignConfig, n_ref: int, n_q: int) -> int:
     return int(min(cfg.max_seeds, max(4096, bucket >> 6)))
 
 
+def transfer_slice(
+    cfg: AlignConfig, shift: int, max_seeds: int
+) -> tuple[int | None, int | None]:
+    """(m_out, c_out) output-slice sizes for the packed d2h transfer.
+
+    Under sampled seeding the run-merged seed count per bacterial pair is
+    ~2 orders of magnitude below the compute bucket (measured ~250 vs
+    4096; hostile repeat-rich input ~1000), so transferring the full
+    bucket wastes most of the payload: slice to 2048 seeds + 512 cluster
+    summaries (~82 KB instead of ~352 KB per pair — the tunnel moves
+    ~40 MB/s, so this is real latency).  Exact seeding keeps full-size
+    output: its run counts routinely reach the bucket.  Truncation is
+    detected via the per-strand counts and refetched full-size.
+    """
+    if not shift:
+        return None, None
+    return min(max_seeds, 2048), min(cfg.max_clusters, 512)
+
+
 def resolve_sample_shift(cfg: AlignConfig, n_ref: int, n_q: int) -> int:
     """Per-pair content-hash sampling density (see seeding.auto_sample_shift)."""
     from paramugsy_tpu.ops.seeding import auto_sample_shift
@@ -136,12 +155,17 @@ def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
     ride one canonical-k-mer join (no revcomp stream at all).
     """
     from paramugsy_tpu.ops.seeding import (
+        _slice_compaction_default,
         seed_cluster_both_packed,
         unpack_seed_clusters,
     )
 
     max_seeds = initial_max_seeds(cfg, ref_codes.shape[0], q_codes.shape[0])
     shift = resolve_sample_shift(cfg, ref_codes.shape[0], q_codes.shape[0])
+    # Resolved OUTSIDE jit: the env override must take effect per call,
+    # not be frozen into the first trace (advisor r4).
+    compact_slice = _slice_compaction_default()
+    m_out, c_out = transfer_slice(cfg, shift, max_seeds)
     while True:
         packed = seed_cluster_both_packed(
             ref_codes,
@@ -157,8 +181,11 @@ def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
             max_clusters=cfg.max_clusters,
             sample_shift=shift,
             merge_gap=cfg.seed_merge_gap,
+            compact_slice=compact_slice,
+            m_out=m_out,
+            c_out=c_out,
         )
-        _, n_runs, samp_over, strands = unpack_seed_clusters(
+        _, n_runs, samp_over, m_compute, strands = unpack_seed_clusters(
             packed, max_seeds, cfg.max_clusters
         )
         if samp_over and shift:
@@ -171,8 +198,18 @@ def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
             )
             shift = 0
             continue
-        m_eff = len(strands[0].seed_rpos)
-        if n_runs <= m_eff or max_seeds >= cfg.max_seeds_cap:
+        if n_runs <= m_compute or max_seeds >= cfg.max_seeds_cap:
+            if any(s.truncated for s in strands):
+                # The compute bucket fits but the sliced OUTPUT didn't:
+                # refetch full-size (rare; seed-dense input).
+                import logging
+
+                logging.getLogger("paramugsy.align").warning(
+                    "sliced transfer overflow (m_out=%s); refetching full",
+                    m_out,
+                )
+                m_out = c_out = None
+                continue
             break
         if cfg.pin_max_seeds is not None:
             # Pinned bucket: never recompile.  Truncation keeps the
@@ -188,6 +225,7 @@ def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
         max_seeds = min(
             cfg.max_seeds_cap, max(max_seeds * 2, 1 << (n_runs - 1).bit_length())
         )
+        m_out, c_out = transfer_slice(cfg, shift, max_seeds)
     return _chains_of_strands(strands, cfg, effective_break(cfg, shift))
 
 
@@ -317,7 +355,10 @@ def _entries_of_chain(
     anchors for a bacterial-scale pair, so per-seed Python loops were
     the pipeline's hottest host phase).
     """
-    seeds = chain.seeds
+    # Copy: end extension below mutates rp/qp/ln (views into the array),
+    # and a chain finished twice (e.g. a retry path) must not re-extend
+    # already-extended boundary seeds.
+    seeds = chain.seeds.copy()
     n = len(seeds)
     rp, qp, ln = seeds[:, 0], seeds[:, 1], seeds[:, 2]
     rend, qend = rp + ln - 1, qp + ln - 1
@@ -340,13 +381,25 @@ def _entries_of_chain(
     # blocks of 1-14 cols around one 500 kb 16-way block).  Extend the
     # boundary seeds outward while bases match, like nucmer's maximal
     # matches.
+    # Each part's extension is clamped at the neighbouring part's nearest
+    # seed (parts are consecutive seed runs, so part p's first seed f has
+    # the previous part's last seed at f-1): without the clamp adjacent
+    # entries could extend into each other and double-report the locus.
+    # Parts are processed in order, so rend/qend[f-1] already include the
+    # previous part's right extension.
     for f, l in zip(starts.tolist(), (ends - 1).tolist()):
-        t = _extend_left(ref_np, query_np, int(rp[f]), int(qp[f]))
+        cap = 4096
+        if f > 0:
+            cap = min(cap, int(rp[f] - rend[f - 1] - 1), int(qp[f] - qend[f - 1] - 1))
+        t = _extend_left(ref_np, query_np, int(rp[f]), int(qp[f]), max(cap, 0))
         if t:
             rp[f] -= t
             qp[f] -= t
             ln[f] += t
-        t = _extend_right(ref_np, query_np, int(rend[l]), int(qend[l]))
+        cap = 4096
+        if l + 1 < n:
+            cap = min(cap, int(rp[l + 1] - rend[l] - 1), int(qp[l + 1] - qend[l] - 1))
+        t = _extend_right(ref_np, query_np, int(rend[l]), int(qend[l]), max(cap, 0))
         if t:
             ln[l] += t
             rend[l] += t
@@ -527,6 +580,7 @@ def align_pairs_batch(
     doubled buckets.
     """
     from paramugsy_tpu.ops.seeding import (
+        _slice_compaction_default,
         seed_cluster_both_packed_batch,
         unpack_seed_clusters,
     )
@@ -576,6 +630,7 @@ def align_pairs_batch(
         )
         max_seeds = initial_max_seeds(cfg, rb, qb)
         shift = resolve_sample_shift(cfg, rb, qb)
+        m_out, c_out = transfer_slice(cfg, shift, max_seeds)
         packed = np.asarray(
             seed_cluster_both_packed_batch(
                 refs, queries, q_lens,
@@ -584,13 +639,17 @@ def align_pairs_batch(
                 min_match=cfg.min_match, band=cfg.band,
                 max_gap=cfg.max_gap, max_clusters=cfg.max_clusters,
                 sample_shift=shift, merge_gap=cfg.seed_merge_gap,
+                compact_slice=_slice_compaction_default(),
+                m_out=m_out, c_out=c_out,
             )
         )
         for row, i in zip(packed, idxs):
-            _, n_runs, samp_over, strands = unpack_seed_clusters(
+            _, n_runs, samp_over, m_compute, strands = unpack_seed_clusters(
                 row, max_seeds, cfg.max_clusters
             )
-            if samp_over or n_runs > len(strands[0].seed_rpos):
+            if samp_over or n_runs > m_compute or any(
+                s.truncated for s in strands
+            ):
                 singles.append(i)  # overflow: single-pair retry path
                 continue
             ref_np, query_np, rn, qn = enc[i]
@@ -906,8 +965,10 @@ def align_self(
             max_gap=cfg.max_gap,
             max_clusters=cfg.max_clusters,
         )
-        _, n_runs, _, strands = unpack_seed_clusters(packed, max_seeds, cfg.max_clusters)
-        if n_runs <= len(strands[0].seed_rpos) or max_seeds >= cfg.max_seeds_cap:
+        _, n_runs, _, m_compute, strands = unpack_seed_clusters(
+            packed, max_seeds, cfg.max_clusters
+        )
+        if n_runs <= m_compute or max_seeds >= cfg.max_seeds_cap:
             break
         max_seeds = min(
             cfg.max_seeds_cap, max(max_seeds * 2, 1 << (n_runs - 1).bit_length())

@@ -50,6 +50,26 @@ def _prefix_max(x):
     return lax.cummax(x, axis=0)
 
 
+def _carry_last_marked(mark, payload):
+    """Per element: the payload at the most recent marked position
+    (inclusive), and whether any marked position has been seen.
+
+    The gather-free replacement for ``x[prefix_max(where(mark, idx, -1))]``
+    (measured ~10 ms per 1.3M-element gather on TPU vs ~1 ms for this
+    log-depth scan): a segmented copy-scan via one associative_scan with
+    a take-right-if-marked combiner.  Payloads may be any int32 values
+    (no monotonicity requirement, unlike the prefix-max tricks).
+    """
+
+    def comb(a, b):
+        am, ap = a
+        bm, bp = b
+        return am | bm, jnp.where(bm != 0, bp, ap)
+
+    mm, pp = lax.associative_scan(comb, (mark.astype(jnp.int32), payload))
+    return mm != 0, pp
+
+
 @functools.partial(jax.jit, static_argnames=("k", "max_seeds", "unique_in_query"))
 def find_seeds(
     ref_codes,
@@ -286,8 +306,7 @@ def find_seeds_both(
         # shrink with them.
         merge_gap = 16 << sample_shift if sample_shift else 0
 
-    # owner|strand|pos packed into one int32 (1 + 1 + 23 bits); owner in
-    # the top bit makes the ref entry sort first within each segment.
+    # owner|strand|pos packed into one int32 (1 + 1 + 23 bits).
     M23 = (1 << 23) - 1
     packed = jnp.concatenate(
         [
@@ -301,13 +320,19 @@ def find_seeds_both(
     samp_over = jnp.int32(0)
 
     if k <= 15:
-        # Sort #1: single u32 key (invalid | canon), one payload.
-        key1 = jnp.concatenate([rk, qk]) | (
-            invalid_b.astype(jnp.uint32) << jnp.uint32(30)
+        # Sort #1: single u32 key [dropped/invalid(1)][canon(30)][owner(1)],
+        # one payload.  The OWNER bit in the key makes every segment's ref
+        # entries sort before its query entries, which turns all segment
+        # lookups below into forward carries — no suffix scan, no gathers
+        # (measured ~21 ms of the round-4 kernel on TPU).
+        canon_all = jnp.concatenate([rk, qk])
+        owner_key = jnp.concatenate(
+            [jnp.zeros(n_r, jnp.uint32), jnp.ones(n_q, jnp.uint32)]
         )
+        codes_all = (canon_all << jnp.uint32(1)) | owner_key
+        key1 = codes_all | (invalid_b.astype(jnp.uint32) << jnp.uint32(31))
         if sample_shift:
-            codes_all = jnp.concatenate([rk, qk])
-            h = codes_all * jnp.uint32(2654435761)
+            h = canon_all * jnp.uint32(2654435761)
             keep = (h >> jnp.uint32(32 - sample_shift)) == 0
             keep = keep & ~invalid_b
             # Static compacted size: mean density + 25% headroom.
@@ -326,7 +351,7 @@ def find_seeds_both(
                 # ~40 ms on a 4.2M join — 4x the full-size sort it was
                 # saving (XLA:TPU scatter serializes).
                 key1 = jnp.where(
-                    keep, codes_all, codes_all | jnp.uint32(1 << 30)
+                    keep, codes_all, codes_all | jnp.uint32(1 << 31)
                 )
                 key1, packed = lax.sort((key1, packed), num_keys=1)
                 key1 = lax.slice_in_dim(key1, 0, B)
@@ -337,7 +362,7 @@ def find_seeds_both(
                 pos_c = jnp.cumsum(keep.astype(jnp.int32)) - 1
                 dst = jnp.where(keep, pos_c, B)  # out of range -> dropped
                 key1 = (
-                    jnp.full((B,), jnp.uint32(1 << 30))
+                    jnp.full((B,), jnp.uint32(1 << 31))
                     .at[dst]
                     .set(key1, mode="drop")
                 )
@@ -348,11 +373,14 @@ def find_seeds_both(
             n = B
         else:
             key1, packed = lax.sort((key1, packed), num_keys=1)
-        valid = key1 < (1 << 30)
-        same_code = key1 == jnp.roll(key1, 1)
+        valid = key1 < jnp.uint32(1 << 31)
+        seg_key = key1 >> jnp.uint32(1)  # owner stripped: the segment id
+        same_code = seg_key == jnp.roll(seg_key, 1)
     else:
         codes = jnp.concatenate([rk, qk])
         invalid = invalid_b.astype(jnp.uint8)
+        # packed is the 3rd sort key: its owner bit (24) sits above the
+        # 23-bit position, so refs sort first within each segment here too.
         invalid, codes, packed = lax.sort((invalid, codes, packed), num_keys=3)
         valid = invalid == 0
         same_code = codes == jnp.roll(codes, 1)
@@ -363,46 +391,43 @@ def find_seeds_both(
 
     idx = jnp.arange(n, dtype=jnp.int32)
     is_start = valid & (~same_code | (idx == 0))
-    nxt_invalid = jnp.concatenate([~valid[1:], jnp.array([True])])
-    nxt_start = jnp.concatenate([is_start[1:], jnp.array([True])])
-    is_end = valid & (nxt_start | nxt_invalid)
-
     ref_in = (owner == 0) & valid
     query_in = (owner > 0) & valid
-    cum_ref = jnp.cumsum(ref_in.astype(jnp.int32))
 
-    def seg_count(cum, contrib):
-        """Per-element count of `contrib` within its segment, gather-free.
+    # Refs sort first within a segment, so the segment has a UNIQUE ref
+    # iff its first element is a ref and its second is not.  One forward
+    # carry hands (first element's packed, two-refs flag) to every
+    # element — replacing round 4's cumsum + prefix-max + suffix-min +
+    # 1.3M-gather pipeline (the kernel's dominant cost on TPU; the
+    # suffix scan and each gather measured ~10 ms apiece).
+    nxt_ref = jnp.concatenate([ref_in[1:], jnp.array([False])])
+    nxt_same = jnp.concatenate([same_code[1:], jnp.array([False])])
+    two_refs = is_start & ref_in & nxt_same & nxt_ref
+    seen, first_info = _carry_last_marked(
+        is_start, packed | (two_refs.astype(jnp.int32) << 25)
+    )
+    first_packed = first_info & ((1 << 25) - 1)
+    one_ref = ((first_packed >> jnp.int32(24)) == 0) & (
+        ((first_info >> jnp.int32(25)) & 1) == 0
+    )
+    rpos = first_packed & M23
+    r_strand = (first_packed >> jnp.int32(23)) & 1
 
-        cum is nondecreasing, so the value just before the most recent
-        segment start is a prefix-max, and the value at the segment end
-        is a suffix-min over end markers.
-        """
-        before = _prefix_max(
-            jnp.where(is_start, cum - contrib.astype(jnp.int32), -1)
-        )
-        at_end = _suffix_min(jnp.where(is_end, cum, BIG))
-        return at_end - before
-
-    ref_count = seg_count(cum_ref, ref_in)
-
-    # The unique ref entry: ref entries sort first within a segment, so
-    # the most recent ref element at-or-before any query element in the
-    # same segment is the segment's ref (one gather, packed: position and
-    # strand together).
-    seg_start_idx = _prefix_max(jnp.where(is_start, idx, -1))
-    last_ref_idx = _prefix_max(jnp.where(ref_in, idx, -1))
-    ref_packed = packed[jnp.maximum(last_ref_idx, 0)]
-    rpos = ref_packed & M23
-    r_strand = (ref_packed >> jnp.int32(23)) & 1
-
-    is_match = valid & query_in & (ref_count == 1) & (last_ref_idx >= seg_start_idx)
+    is_match = valid & query_in & seen & one_ref
     if unique_in_query:
-        # canonical counting: a k-mer repeated across strands is not
-        # query-unique (conservative for palindromic repeats)
+        # Canonical query-uniqueness (--mum: a k-mer repeated across
+        # strands is not query-unique) needs the segment's TOTAL query
+        # count — suffix information; keep the two-sided formulation for
+        # this (non-default) mode.
+        nxt_invalid = jnp.concatenate([~valid[1:], jnp.array([True])])
+        nxt_start = jnp.concatenate([is_start[1:], jnp.array([True])])
+        is_end = valid & (nxt_start | nxt_invalid)
         cum_query = jnp.cumsum(query_in.astype(jnp.int32))
-        query_count = seg_count(cum_query, query_in)
-        is_match = is_match & (query_count == 1)
+        before = _prefix_max(
+            jnp.where(is_start, cum_query - query_in.astype(jnp.int32), -1)
+        )
+        at_end = _suffix_min(jnp.where(is_end, cum_query, BIG))
+        is_match = is_match & ((at_end - before) == 1)
 
     n_raw = jnp.sum(is_match.astype(jnp.int32))
 
@@ -448,10 +473,9 @@ def find_seeds_both(
         & (dr_next <= merge_gap + 1)
     )
     is_run_end = mask_c & ((cidx == n - 1) | ~next_continues)
-    run_start_idx = _prefix_max(jnp.where(run_start, cidx, -1))
-    # Run span from the start anchor's coordinates (one gather; the old
-    # count arithmetic only held for step-1 runs).
-    rpos0 = rpos_c[jnp.maximum(run_start_idx, 0)]
+    # Run span from the start anchor's coordinates, carried forward
+    # gather-free (the 1.3M gather this replaces measured ~9 ms on TPU).
+    _, rpos0 = _carry_last_marked(run_start, rpos_c)
     run_rpos = rpos0
     run_qpos = qpos_c - (rpos_c - rpos0)
     run_span = rpos_c - rpos0 + k
@@ -497,6 +521,7 @@ def revcomp_on_device(codes, n):
     static_argnames=(
         "k", "max_seeds", "unique_in_query", "min_match",
         "band", "max_gap", "max_clusters", "sample_shift", "merge_gap",
+        "compact_slice", "m_out", "c_out",
     ),
 )
 def seed_cluster_both_packed(
@@ -514,29 +539,38 @@ def seed_cluster_both_packed(
     max_clusters: int = 4096,
     sample_shift: int = 0,
     merge_gap: int | None = None,
+    compact_slice: bool | None = None,
+    m_out: int | None = None,
+    c_out: int | None = None,
 ):
     """Seeding + both-strand clustering fused into one dispatch, with every
     output packed into ONE int32 vector.
 
     Rationale: on a tunneled single-chip runtime each device->host fetch
     pays tens of ms of round-trip latency regardless of size, so the
-    orchestration layer must make exactly one transfer per pair.  Layout
-    (all int32), with M = max_seeds, C = max_clusters:
+    orchestration layer must make exactly one transfer per pair — and a
+    SMALL one: ``m_out``/``c_out`` slice the transferred seed/cluster
+    buckets below the compute buckets (valid seeds sort to the front of
+    each strand's arrays, valid clusters to the front of the summaries,
+    so a prefix is lossless as long as it is big enough; per-strand
+    ``n_valid``/``n_clusters`` counts let the caller DETECT truncation
+    and refetch full-size — under sampled seeding the measured ~250
+    merged runs per bacterial pair sit far below the 4096 compute
+    bucket, so the slice cuts the d2h payload ~4x).  Layout (all int32),
+    with M = m_out or the compute bucket, C = c_out or max_clusters:
 
-        [M_eff, C_eff, n_raw, n_runs, samp_over]
+        [M, C, m_compute, n_raw, n_runs, samp_over]
         then per strand (forward, reverse):
           seed_rpos[M], seed_qpos[M], seed_len[M],
           c_first[C], c_rstart[C], c_rend[C], c_qstart[C], c_qend[C],
-          c_weight[C], c_nseeds[C], c_mask[C], n_clusters[1]
+          c_weight[C], c_nseeds[C], c_mask[C], n_clusters[1], n_valid[1]
 
     (Per-seed cluster ids are NOT transferred: clusters are contiguous
     runs of the sorted seed order, so c_first + c_nseeds recover the
     membership — 25% less d2h per pair.)
 
-    Unpack on host with `unpack_seed_clusters`.  Output arrays shrink to
-    the input size for small buckets, so the effective sizes are recorded
-    up front; ``samp_over`` = 1 means the content-hash sample buffer
-    overflowed (redo with sample_shift=0).
+    Unpack on host with `unpack_seed_clusters`.  ``samp_over`` = 1 means
+    the content-hash sample buffer overflowed (redo with sample_shift=0).
     """
     from paramugsy_tpu.ops.chaining import cluster_seeds
 
@@ -545,30 +579,39 @@ def seed_cluster_both_packed(
         ref_codes, query_codes, q_len,
         k=k, max_seeds=max_seeds, unique_in_query=unique_in_query,
         sample_shift=sample_shift, merge_gap=merge_gap,
+        compact_slice=compact_slice,
     )
     base_keep = seeds.mask & (seeds.length >= min_match)
     # Effective sizes (static): find_seeds/cluster outputs shrink to the
     # input size for small buckets.
     m_eff = seeds.rpos.shape[0]
     c_eff = min(max_clusters, m_eff)
+    m_o = m_eff if m_out is None else min(m_out, m_eff)
+    c_o = c_eff if c_out is None else min(c_out, c_eff)
     parts = [
-        jnp.array([m_eff, c_eff], jnp.int32),
+        jnp.array([m_o, c_o, m_eff], jnp.int32),
         seeds.n_raw[None],
         seeds.n_runs[None],
         seeds.samp_over[None],
     ]
     for reverse in (False, True):
         keep = base_keep & (seeds.reverse == reverse)
+        n_valid = jnp.sum(keep.astype(jnp.int32))
         cl = cluster_seeds(
             seeds.rpos, seeds.qpos, seeds.length, keep,
             band=band, max_gap=max_gap, max_clusters=max_clusters,
         )
+        cm = lambda x: lax.slice_in_dim(x, 0, m_o)  # noqa: E731
+        cc = lambda x: lax.slice_in_dim(x, 0, c_o)  # noqa: E731
         parts.extend(
             [
-                cl.seed_rpos, cl.seed_qpos, cl.seed_len,
-                cl.c_first, cl.c_rstart, cl.c_rend, cl.c_qstart, cl.c_qend,
-                cl.c_weight, cl.c_nseeds, cl.c_mask.astype(jnp.int32),
+                cm(cl.seed_rpos), cm(cl.seed_qpos), cm(cl.seed_len),
+                cc(cl.c_first), cc(cl.c_rstart), cc(cl.c_rend),
+                cc(cl.c_qstart), cc(cl.c_qend),
+                cc(cl.c_weight), cc(cl.c_nseeds),
+                cc(cl.c_mask.astype(jnp.int32)),
                 cl.n_clusters[None],
+                n_valid[None],
             ]
         )
     return jnp.concatenate(parts)
@@ -579,6 +622,7 @@ def seed_cluster_both_packed(
     static_argnames=(
         "k", "max_seeds", "unique_in_query", "min_match",
         "band", "max_gap", "max_clusters", "sample_shift", "merge_gap",
+        "compact_slice", "m_out", "c_out",
     ),
 )
 def seed_cluster_both_packed_batch(
@@ -595,6 +639,9 @@ def seed_cluster_both_packed_batch(
     max_clusters: int = 4096,
     sample_shift: int = 0,
     merge_gap: int | None = None,
+    compact_slice: bool | None = None,
+    m_out: int | None = None,
+    c_out: int | None = None,
 ):
     """Batched `seed_cluster_both_packed`: a CHUNK of pairs per dispatch.
 
@@ -613,7 +660,8 @@ def seed_cluster_both_packed_batch(
             k=k, max_seeds=max_seeds, unique_in_query=unique_in_query,
             min_match=min_match, band=band, max_gap=max_gap,
             max_clusters=max_clusters, sample_shift=sample_shift,
-            merge_gap=merge_gap,
+            merge_gap=merge_gap, compact_slice=compact_slice,
+            m_out=m_out, c_out=c_out,
         )
 
     return jax.vmap(one)(ref_codes, query_codes, q_len)
@@ -763,13 +811,14 @@ def repeat_cluster_packed(
     m_eff = seeds.rpos.shape[0]
     c_eff = min(max_clusters, m_eff)
     parts = [
-        jnp.array([m_eff, c_eff], jnp.int32),
+        jnp.array([m_eff, c_eff, m_eff], jnp.int32),
         seeds.n_raw[None],
         seeds.n_runs[None],
         seeds.samp_over[None],
     ]
     for inverted in (False, True):
         keep = base_keep & (seeds.reverse == inverted)
+        n_valid = jnp.sum(keep.astype(jnp.int32))
         cl = cluster_seeds(
             seeds.rpos, seeds.qpos, seeds.length, keep,
             band=band, max_gap=max_gap, max_clusters=max_clusters,
@@ -780,6 +829,7 @@ def repeat_cluster_packed(
                 cl.c_first, cl.c_rstart, cl.c_rend, cl.c_qstart, cl.c_qend,
                 cl.c_weight, cl.c_nseeds, cl.c_mask.astype(jnp.int32),
                 cl.n_clusters[None],
+                n_valid[None],
             ]
         )
     return jnp.concatenate(parts)
@@ -800,18 +850,33 @@ class HostClusters(NamedTuple):
     c_nseeds: "object"
     c_mask: "object"
     n_clusters: int
+    n_valid: int  # valid (min_match-filtered) seeds of this strand
+
+    @property
+    def truncated(self) -> bool:
+        """Did the m_out/c_out output slice cut off valid data?  If so
+        the caller must refetch with full-size output buckets."""
+        return (
+            self.n_valid > len(self.seed_rpos)
+            or self.n_clusters > len(self.c_first)
+        )
 
 
 def unpack_seed_clusters(packed, max_seeds: int, max_clusters: int):
     """Split `seed_cluster_both_packed` output:
-    (n_raw, n_runs, samp_over, [fwd, rev])."""
+    (n_raw, n_runs, samp_over, m_compute, [fwd, rev]).
+
+    ``n_runs > m_compute`` means the COMPUTE bucket overflowed (retry
+    with a bigger ``max_seeds``); ``strand.truncated`` means only the
+    m_out/c_out output slice was too small (refetch with full-size
+    output, same compute bucket)."""
     import numpy as np
 
     buf = np.asarray(packed)
-    M, C = int(buf[0]), int(buf[1])
+    M, C, m_compute = int(buf[0]), int(buf[1]), int(buf[2])
     assert M <= max_seeds and C <= max_clusters
-    n_raw, n_runs, samp_over = int(buf[2]), int(buf[3]), int(buf[4])
-    off = 5
+    n_raw, n_runs, samp_over = int(buf[3]), int(buf[4]), int(buf[5])
+    off = 6
     strands = []
     for _ in range(2):
         fields = []
@@ -819,7 +884,8 @@ def unpack_seed_clusters(packed, max_seeds: int, max_clusters: int):
             fields.append(buf[off : off + size])
             off += size
         n_clusters = int(buf[off])
-        off += 1
+        n_valid = int(buf[off + 1])
+        off += 2
         fields[10] = fields[10] != 0  # c_mask back to bool
-        strands.append(HostClusters(*fields, n_clusters))
-    return n_raw, n_runs, samp_over, strands
+        strands.append(HostClusters(*fields, n_clusters, n_valid))
+    return n_raw, n_runs, samp_over, m_compute, strands

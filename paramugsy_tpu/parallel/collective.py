@@ -193,8 +193,6 @@ def sharded_genome_pair_deltas(
     Jobs that overflow the seed bucket fall back to the local single-pair
     path on the process that owns their row.
     """
-    import pickle
-
     import jax as _jax
 
     from paramugsy_tpu.ops.align_pair import (
@@ -268,17 +266,19 @@ def sharded_genome_pair_deltas(
         from paramugsy_tpu.ops.align_pair import (
             initial_max_seeds,
             resolve_sample_shift,
+            transfer_slice,
         )
 
         max_seeds = initial_max_seeds(cfg, rb, qb)
         shift = resolve_sample_shift(cfg, rb, qb)
+        m_out, c_out = transfer_slice(cfg, shift, max_seeds)
         step = make_sharded_packed_pair_step(
             mesh,
             k=cfg.k, max_seeds=max_seeds,
             unique_in_query=cfg.unique_in_query,
             min_match=cfg.min_match, band=cfg.band,
             max_gap=cfg.max_gap, max_clusters=cfg.max_clusters,
-            sample_shift=shift,
+            sample_shift=shift, m_out=m_out, c_out=c_out,
         )
         sh = NamedSharding(mesh, P("pairs"))
         _phase_barrier("pair-dispatch")
@@ -296,11 +296,13 @@ def sharded_genome_pair_deltas(
                 if row >= len(all_rows):
                     continue  # padding row
                 i = all_rows[row]
-                _, n_runs, samp_over, strands = unpack_seed_clusters(
+                _, n_runs, samp_over, m_compute, strands = unpack_seed_clusters(
                     packed_local[r], max_seeds, cfg.max_clusters
                 )
                 ref_np, query_np, rn, qn, fin_cfg = row_data(i)
-                if samp_over or n_runs > len(strands[0].seed_rpos):
+                if samp_over or n_runs > m_compute or any(
+                    s.truncated for s in strands
+                ):
                     # overflow: local retry path (owner's host)
                     local_results[i] = align_pair(
                         ref_np, query_np, rn, qn, fin_cfg, device_cache
@@ -314,12 +316,20 @@ def sharded_genome_pair_deltas(
                 )
 
     # Exchange finished entries (row idx -> entries), host collective.
+    # Versioned flat-array framing, not pickle: a revision-mismatched or
+    # corrupted peer blob raises a named error instead of misparsing
+    # (parallel/wire.py; VERDICT r4 #8).
+    from paramugsy_tpu.parallel.wire import decode_results, encode_results
+
     n_total = len(jobs) + len(sub_enc)
     results: list = [None] * n_total
     if n_proc > 1:
-        blob = pickle.dumps(local_results, protocol=pickle.HIGHEST_PROTOCOL)
+        blob = encode_results(local_results)
+        from paramugsy_tpu.utils.obs import METRICS
+
+        METRICS.add("exchange.blob_bytes", 0.0, items=len(blob))
         for other in _exchange_blobs(blob):
-            for i, entries in pickle.loads(other).items():
+            for i, entries in decode_results(other).items():
                 results[i] = entries
     else:
         for i, entries in local_results.items():
@@ -330,15 +340,22 @@ def sharded_genome_pair_deltas(
     for idx, (wmeta, base, n_sub) in win_meta.items():
         pieces = results[base : base + n_sub]
         missing_sub = [base + t for t, p in enumerate(pieces) if p is None]
-        assert not missing_sub, (
-            f"window sub-jobs never finished on any host: {missing_sub[:5]}"
-        )
+        if missing_sub:
+            # RuntimeError, not assert: this cross-host completeness check
+            # must survive python -O (an opaque TypeError deep inside
+            # assemble_windowed is no diagnosis).
+            raise RuntimeError(
+                f"window sub-jobs never finished on any host: {missing_sub[:5]}"
+            )
         ref_np, query_np, rn, qn = enc[idx]
         results[idx] = assemble_windowed(
             pieces, wmeta, ref_np, query_np, rn, qn, cfg
         )
     missing = [i for i, r in enumerate(results[: len(jobs)]) if r is None]
-    assert not missing, f"pair jobs never finished on any host: {missing[:5]}"
+    if missing:
+        raise RuntimeError(
+            f"pair jobs never finished on any host: {missing[:5]}"
+        )
 
     out: list[list[DeltaEntry]] = [[] for _ in genome_pairs]
     for t, entries in zip(owners, results[: len(jobs)]):

@@ -237,21 +237,24 @@ class Aligner:
         self, left: list[str], right: list[str],
         left_blocks: list[MafBlock], right_blocks: list[MafBlock],
     ) -> list[MafBlock]:
+        from paramugsy_tpu.utils.obs import METRICS
+
         deltas: list[DeltaEntry] = []
-        for a in left:
-            for b in right:
-                if (a, b) in self._pool:
-                    deltas.extend(self._pool[a, b])
-                elif (b, a) in self._pool:
-                    deltas.extend(e.swapped() for e in self._pool[b, a])
-                else:
-                    self.cfg.log(f"pairwise {a} vs {b}")
-                    deltas.extend(
-                        genome_pair_deltas(
-                            self.genomes[a], self.genomes[b], self.cfg.align,
-                            self._device_cache,
+        with METRICS.phase("pairwise", items=len(left) * len(right)):
+            for a in left:
+                for b in right:
+                    if (a, b) in self._pool:
+                        deltas.extend(self._pool[a, b])
+                    elif (b, a) in self._pool:
+                        deltas.extend(e.swapped() for e in self._pool[b, a])
+                    else:
+                        self.cfg.log(f"pairwise {a} vs {b}")
+                        deltas.extend(
+                            genome_pair_deltas(
+                                self.genomes[a], self.genomes[b], self.cfg.align,
+                                self._device_cache,
+                            )
                         )
-                    )
         uid = self._next_uid()
         self.cfg.log(f"merge {len(left)}+{len(right)} genomes ({uid})")
         return merge_blocks(
@@ -339,15 +342,21 @@ def gather_dup_blocks(
 def finalize_blocks(
     blocks: list[MafBlock], dup_blocks: list[MafBlock] = ()
 ) -> list[MafBlock]:
-    """Assign sequential LCB labels (the reference's ``label=`` ids);
+    """Assign sequential LCB labels (the reference's ``label=`` ids) and
+    sum-of-pairs alignment scores (the mugsyWGA score role, cf.
+    lib/profiles/m_untranslate.ml:219 — NOT row length; see lcb/score.py);
     duplication blocks follow with ``dup<N>`` labels."""
+    from paramugsy_tpu.lcb.score import score_blocks
+
     for i, b in enumerate(blocks):
         b.attrs["label"] = str(i + 1)
         b.attrs["mult"] = str(len(b.seqs))
     for i, b in enumerate(dup_blocks):
         b.attrs["label"] = f"dup{i + 1}"
         b.attrs["mult"] = str(len(b.seqs))
-    return list(blocks) + list(dup_blocks)
+    out = list(blocks) + list(dup_blocks)
+    score_blocks(out)
+    return out
 
 
 def align_fastas(

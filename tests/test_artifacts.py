@@ -294,3 +294,82 @@ class TestMultiHostSimulated:
         assert got == [de]
         assert st.has_pair("a", "b")
         assert st.load_pair("a", "b") == [de]
+
+
+class TestWireFormat:
+    """Versioned exchange framing (parallel/wire.py; VERDICT r4 #8)."""
+
+    def _entries(self, rng, n=50):
+        from paramugsy_tpu.coords.range import Range
+        from paramugsy_tpu.formats.delta import DeltaEntry
+
+        out = []
+        for _ in range(n):
+            s = int(rng.integers(1, 10_000))
+            e = s + int(rng.integers(1, 5_000))
+            qs = int(rng.integers(1, 10_000))
+            qe = qs + int(rng.integers(1, 5_000))
+            if rng.random() < 0.5:
+                qs, qe = qe, qs  # reverse-strand query range
+            gaps = lambda: [
+                Range(int(g), int(g) + int(rng.integers(1, 9)))
+                for g in sorted(rng.integers(1, 4_000, int(rng.integers(0, 6))))
+            ]
+            out.append(
+                DeltaEntry(
+                    ref_name=f"g{int(rng.integers(4))}.chr",
+                    query_name=f"h{int(rng.integers(4))}.chr",
+                    ref_len=100_000, query_len=90_000,
+                    ref_range=Range(s, e), query_range=Range(qs, qe),
+                    ref_gaps=gaps(), query_gaps=gaps(),
+                    errors=(int(rng.integers(99)), int(rng.integers(99)), 0),
+                )
+            )
+        return out
+
+    def test_roundtrip(self):
+        import numpy as np
+
+        from paramugsy_tpu.parallel.wire import decode_results, encode_results
+
+        rng = np.random.default_rng(7)
+        results = {3: self._entries(rng), 17: [], 40: self._entries(rng, 5)}
+        blob = encode_results(results)
+        back = decode_results(blob)
+        assert back == results
+
+    def test_empty(self):
+        from paramugsy_tpu.parallel.wire import decode_results, encode_results
+
+        assert decode_results(encode_results({})) == {}
+
+    def test_version_mismatch_raises(self):
+        import numpy as np
+        import pytest
+
+        from paramugsy_tpu.parallel import wire
+
+        blob = wire.encode_results({1: self._entries(np.random.default_rng(0), 3)})
+        # Flip the version field (bytes 4-5, little-endian u16).
+        bad = blob[:4] + (99).to_bytes(2, "little") + blob[6:]
+        with pytest.raises(RuntimeError, match="version mismatch"):
+            wire.decode_results(bad)
+        with pytest.raises(RuntimeError, match="magic"):
+            wire.decode_results(b"NOPE" + blob[4:])
+        with pytest.raises(RuntimeError, match="too short"):
+            wire.decode_results(b"PM")
+
+    def test_size_vs_pickle(self):
+        """The flat framing should not be materially larger than pickle
+        (it is typically smaller once gap lists are nontrivial)."""
+        import pickle
+
+        import numpy as np
+
+        from paramugsy_tpu.parallel.wire import encode_results
+
+        rng = np.random.default_rng(11)
+        results = {i: self._entries(rng, 40) for i in range(10)}
+        ours = len(encode_results(results))
+        theirs = len(pickle.dumps(results, protocol=pickle.HIGHEST_PROTOCOL))
+        assert ours < theirs * 1.5, (ours, theirs)

@@ -311,3 +311,59 @@ class TestDuplications:
         assert rc == 0
         blocks = list(read_maf(out))
         assert any(b.attrs["label"].startswith("dup") for b in blocks)
+
+
+class TestSpScores:
+    """Block scores are sum-of-pairs alignment scores (VERDICT r4 #6:
+    score must track quality, not max row length)."""
+
+    def test_exact_small(self):
+        from paramugsy_tpu.lcb.score import sp_score_rows
+        from paramugsy_tpu.ops.extend import Scoring
+
+        sc = Scoring()  # match=2, mismatch=-3, gap=-4
+        # col1: AA match; col2: AC mismatch; col3: A- gap; col4: -- zero;
+        # col5: AN ambiguous -> 0
+        rows = ["AAA-A", "ACG-N", "AC-G-"]
+        # col-by-col pairs (3 rows = 3 pairs/col):
+        # c0 A/A/A: 3 match          -> +6
+        # c1 A/C/C: 1 match 2 mis    -> +2 -6
+        # c2 A/G/-: 1 mis 2 gap      -> -3 -8
+        # c3 -/-/G: 2 gap            -> -8
+        # c4 A/N/-: N pairs 0, A-  gap -> -4
+        assert sp_score_rows(rows, sc) == 6 + (2 - 6) + (-3 - 8) + (-8) + (-4)
+
+    def test_single_row_zero(self):
+        from paramugsy_tpu.lcb.score import sp_score_rows
+
+        assert sp_score_rows(["ACGT"]) == 0
+
+    def test_monotone_with_identity(self):
+        """Higher-identity alignments of the same shape score higher."""
+        from paramugsy_tpu.lcb.score import sp_score_rows
+
+        base = "ACGTACGTACGTACGTACGT" * 10
+        worse = "TGCA" + base[4:]
+        assert sp_score_rows([base, base]) > sp_score_rows([base, worse])
+
+    def test_finalize_assigns_sp_scores(self):
+        from paramugsy_tpu.formats.maf import MafBlock, MafSequence
+        from paramugsy_tpu.coords.range import FORWARD
+        from paramugsy_tpu.lcb.score import sp_score_rows
+        from paramugsy_tpu.pipeline import finalize_blocks
+
+        rows = ["ACGTAC", "ACGTAC"]
+        b = MafBlock(
+            seqs=[
+                MafSequence(
+                    name=f"g{i}.c", start=0, size=6, strand=FORWARD,
+                    src_size=6, text=t,
+                )
+                for i, t in enumerate(rows)
+            ],
+            score=999,
+            attrs={},
+        )
+        (out,) = finalize_blocks([b])
+        # 6 columns x 1 row-pair, all matches at +2
+        assert out.score == sp_score_rows(rows) == 12
