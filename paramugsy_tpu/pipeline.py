@@ -212,6 +212,8 @@ class Aligner:
         return f"n{self._uid:04d}"
 
     def guide_tree(self) -> GuideTree:
+        from paramugsy_tpu.utils.obs import METRICS
+
         if self.cfg.guide_tree_newick:
             from paramugsy_tpu.tree.guide_tree import parse_newick
 
@@ -225,9 +227,10 @@ class Aligner:
                     f"extra={sorted(extra)}"
                 )
             return tree
-        names = list(self.genomes)
-        codes = [self.genomes[n].concat_codes() for n in names]
-        return guide_tree_of_seqs(codes, names, k=self.cfg.distance_k)
+        with METRICS.phase("guide_tree", items=len(self.genomes)):
+            names = list(self.genomes)
+            codes = [self.genomes[n].concat_codes() for n in names]
+            return guide_tree_of_seqs(codes, names, k=self.cfg.distance_k)
 
     def job_tree(self) -> JobTree:
         order = self.guide_tree().leaves()
