@@ -335,8 +335,12 @@ def find_seeds_both(
             h = canon_all * jnp.uint32(2654435761)
             keep = (h >> jnp.uint32(32 - sample_shift)) == 0
             keep = keep & ~invalid_b
-            # Static compacted size: mean density + 25% headroom.
-            B = ((n >> sample_shift) + (n >> (sample_shift + 2)) + 1023) & ~1023
+            # Static compacted size: mean density + 12.5% headroom (the
+            # hash is content-uniform, so the sampled count's spread is
+            # binomial — ~1k at bacterial scale vs ~130k headroom; a
+            # composition-adversarial overflow still lands in samp_over
+            # and redoes exact).
+            B = ((n >> sample_shift) + (n >> (sample_shift + 3)) + 1023) & ~1023
             B = min(B, n)
             n_samp = jnp.sum(keep.astype(jnp.int32))
             samp_over = (n_samp > B).astype(jnp.int32)
@@ -449,10 +453,22 @@ def find_seeds_both(
         is_match, (owner2 << jnp.int32(24)) | diag, jnp.int32(1 << 30)
     ).astype(jnp.int32)
     key2, rpos_c = lax.sort((key2, rpos), num_keys=2)
+    if sample_shift and k <= 15:
+        # Matches sort to the front (non-matches carry the sentinel), so
+        # the run-merge + sort #3 stages can run on a static slice: the
+        # match count is structurally <= the sampled query k-mers
+        # (~n_q/n of the buffer), so 5/8 covers the equal-length case
+        # with margin; an asymmetric-pair overflow sets a samp_over bit
+        # and the caller redoes the pair exact.
+        B2 = min(n, ((n * 5 // 8) + 1023) & ~1023)
+        samp_over = samp_over | (jnp.int32(2) * (n_raw > B2).astype(jnp.int32))
+        key2 = lax.slice_in_dim(key2, 0, B2)
+        rpos_c = lax.slice_in_dim(rpos_c, 0, B2)
+        n = B2
     mask_c = key2 < (1 << 30)
     owner_c = (key2 >> jnp.int32(24)) & 3
     qpos_c = rpos_c - (key2 & (OFF * 2 - 1)) + OFF  # garbage when masked
-    cidx = idx
+    cidx = jnp.arange(n, dtype=jnp.int32)
 
     prev_mask = jnp.roll(mask_c, 1).at[0].set(False)
     # Same-diagonal runs merge across ref steps of 1..merge_gap+1 (step 1

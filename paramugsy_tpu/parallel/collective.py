@@ -430,9 +430,13 @@ def _align_fastas_sharded(fasta_paths, out_maf, cfg, mesh, devices, tmp_dir):
         )
         blocks = finalize_blocks(ex.execute(tree))
     else:
+        from paramugsy_tpu.pipeline import finalize_blocks
+
         pool: list[DeltaEntry] = [e for entries in deltas for e in entries]
         runner = Aligner(genomes, cfg, delta_pool=pool)
-        blocks = runner.run()
+        # finalize here too: labels + SP scores must not depend on which
+        # merge plane (in-process vs store-backed) produced the blocks.
+        blocks = finalize_blocks(runner.run())
     if out_maf:
         write_maf(out_maf, blocks, header=MAF_HEADER)
     return blocks

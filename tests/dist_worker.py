@@ -6,8 +6,8 @@ Each worker is a genuine jax.distributed process (CPU platform, 4 local
 devices -> 8 global), exercising the n_proc > 1 branches of
 parallel/collective.py that single-process tests cannot reach: the
 sharded pair dispatch over a cross-process mesh, `_exchange_blobs`'s
-pickle-over-allgather, owner publication and `wait_node` in the
-store-backed merge phase.  This is the executable analog of the
+versioned-wire-format allgather (parallel/wire.py), owner publication
+and `wait_node` in the store-backed merge phase.  This is the executable analog of the
 reference's fake-cluster seam (lib/base/queue_server_test.ml:6-33) —
 except nothing is faked.
 

@@ -256,3 +256,61 @@ class TestGuideTreeAndSge:
         assert rc == 0
         err = capsys.readouterr().err
         assert "superseded" in err
+
+
+class TestFilterColinearEquivalence:
+    def test_matches_bruteforce_on_random_instances(self):
+        """The O(n log n) Fenwick-sweep LIS equals the O(n^2) DP optimum
+        (same total kept ref length) on random entry sets."""
+        from paramugsy_tpu.ops.align_pair import filter_colinear
+
+        def brute(entries):
+            best_total = 0
+            for want_forward in (True, False):
+                cand = [
+                    e for e in entries
+                    if e.query_range.is_forward == want_forward
+                ]
+                cand.sort(key=lambda e: e.ref_range.abs().start)
+                n = len(cand)
+                score = [0] * n
+                for i in range(n):
+                    score[i] = cand[i].ref_range.length
+                    for j in range(i):
+                        okq = (
+                            cand[j].query_range.abs().end
+                            < cand[i].query_range.abs().start
+                            if want_forward
+                            else cand[i].query_range.abs().end
+                            < cand[j].query_range.abs().start
+                        )
+                        if (
+                            cand[j].ref_range.abs().end
+                            < cand[i].ref_range.abs().start
+                            and okq
+                        ):
+                            score[i] = max(
+                                score[i],
+                                score[j] + cand[i].ref_range.length,
+                            )
+                if n:
+                    best_total = max(best_total, max(score))
+            return best_total
+
+        rng = np.random.default_rng(5)
+        for trial in range(25):
+            entries = []
+            for _ in range(int(rng.integers(1, 40))):
+                rs = int(rng.integers(1, 3000))
+                re_ = rs + int(rng.integers(5, 400))
+                qs = int(rng.integers(1, 3000))
+                qe = qs + int(rng.integers(5, 400))
+                if rng.random() < 0.4:
+                    qs, qe = qe, qs
+                entries.append(
+                    DeltaEntry("r", "q", 5000, 5000, Range(rs, re_),
+                               Range(qs, qe), [], [])
+                )
+            got = sum(e.ref_range.length for e in filter_colinear(entries))
+            want = brute(entries)
+            assert got == want, (trial, got, want)
