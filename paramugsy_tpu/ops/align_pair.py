@@ -166,6 +166,9 @@ def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
     # not be frozen into the first trace (advisor r4).
     compact_slice = _slice_compaction_default()
     m_out, c_out = transfer_slice(cfg, shift, max_seeds)
+    from paramugsy_tpu.ops import engines
+
+    engines.record_seedcluster(1)
     while True:
         packed = seed_cluster_both_packed(
             ref_codes,
@@ -631,6 +634,9 @@ def align_pairs_batch(
         max_seeds = initial_max_seeds(cfg, rb, qb)
         shift = resolve_sample_shift(cfg, rb, qb)
         m_out, c_out = transfer_slice(cfg, shift, max_seeds)
+        from paramugsy_tpu.ops import engines
+
+        engines.record_seedcluster(len(idxs))
         packed = np.asarray(
             seed_cluster_both_packed_batch(
                 refs, queries, q_lens,

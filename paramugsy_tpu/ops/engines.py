@@ -37,6 +37,19 @@ def reset_counts() -> None:
     COUNTS.clear()
 
 
+def record_seedcluster(n: int = 1) -> None:
+    """Count fused seeding/clustering dispatches by backend — the pair
+    pipeline's heavy compute, so dp_engines shows where FLOPs went
+    rather than only the residual segment DPs."""
+    try:
+        import jax
+
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    record(f"seedcluster-{backend}", n)
+
+
 def device_dp_enabled() -> bool:
     """Should long-segment extension run on the device?"""
     v = os.environ.get("PARAMUGSY_DEVICE_DP")

@@ -24,12 +24,27 @@ from paramugsy_tpu.ops.encode import kmer_codes
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def kmer_sketch(codes, k: int = 8):
-    """Dense presence vector over the 4^k k-mer space (float32 [4^k])."""
+    """Dense presence vector over the 4^k k-mer space (float32 [4^k]).
+
+    Scatter-free up to the last mile: XLA:TPU scatters serialize, and the
+    r4 form scattered one update per POSITION (~500 ms on a 2 Mb genome —
+    the dominant guide-tree cost).  Sorting the codes and compacting the
+    first-occurrence values to a static 4^k-slice leaves a scatter of at
+    most 4^k one-writes (~30x fewer); the resulting presence vector is
+    bit-identical, so guide trees are unchanged.
+    """
     km, valid = kmer_codes(codes, k)
     dim = 4**k
-    sketch = jnp.zeros(dim, dtype=jnp.float32)
-    sketch = sketch.at[jnp.where(valid, km, 0)].max(
-        jnp.where(valid, 1.0, 0.0)
+    n = km.shape[0]
+    vals = jnp.where(valid, km, dim)  # invalid -> out of range, dropped
+    s = jnp.sort(vals)
+    first = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
+    uniq = jnp.sort(jnp.where(first, s, dim))
+    uniq = uniq[: min(dim, n)]
+    sketch = (
+        jnp.zeros(dim + 1, dtype=jnp.float32)
+        .at[uniq]
+        .set(1.0, mode="drop")[:dim]
     )
     return sketch
 
