@@ -745,3 +745,33 @@ class TestCompactionForms:
             np.testing.assert_array_equal(
                 getattr(a, f), getattr(b, f), err_msg=f
             )
+
+
+class TestTransferSliceOverflow:
+    def test_sliced_output_overflow_refetches_full(self, monkeypatch):
+        """When the m_out/c_out output slice is too small for the pair's
+        valid seeds, the per-strand n_valid counts must trigger a
+        full-size refetch — entries identical to the unsliced path."""
+        import paramugsy_tpu.ops.align_pair as ap
+
+        rng = np.random.default_rng(11)
+        n = 60_000
+        ref = rng.integers(0, 4, size=n).astype(np.int8)
+        q = ref.copy()
+        m = rng.random(n) < 0.01
+        q[m] = ((q[m] + 1) % 4).astype(np.int8)
+        # force sampling so transfer_slice applies; small merge gap keeps
+        # many separate runs alive (pressure on the seed slice)
+        cfg = ap.AlignConfig(seed_sample_shift=2, seed_merge_gap=4)
+        want = ap.align_pair(ref, q, "r", "q", cfg)
+        assert want, "fixture must align"
+
+        monkeypatch.setattr(ap, "transfer_slice", lambda *a: (16, 8))
+        got = ap.align_pair(ref, q, "r", "q", cfg)
+        assert [
+            (e.ref_range, e.query_range, e.ref_gaps, e.query_gaps)
+            for e in got
+        ] == [
+            (e.ref_range, e.query_range, e.ref_gaps, e.query_gaps)
+            for e in want
+        ]
