@@ -166,10 +166,13 @@ def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
     # not be frozen into the first trace (advisor r4).
     compact_slice = _slice_compaction_default()
     m_out, c_out = transfer_slice(cfg, shift, max_seeds)
+    import logging
+
     from paramugsy_tpu.ops import engines
 
-    engines.record_seedcluster(1)
+    log = logging.getLogger("paramugsy.align")
     while True:
+        engines.record_seedcluster(1)  # one count per actual dispatch
         packed = seed_cluster_both_packed(
             ref_codes,
             q_codes,
@@ -193,33 +196,38 @@ def _chain_seeds_all(ref_codes, q_codes, q_len: int, cfg: AlignConfig):
         )
         if samp_over and shift:
             # Composition-adversarial input overflowed the sample buffer:
-            # redo exact (rare; one extra compiled shape at most).
-            import logging
-
-            logging.getLogger("paramugsy.align").warning(
-                "sample buffer overflow; redoing pair unsampled"
-            )
+            # redo exact (rare; one extra compiled shape at most).  The
+            # output slice must revert to full-size with it — exact run
+            # counts routinely reach the bucket.
+            log.warning("sample buffer overflow; redoing pair unsampled")
             shift = 0
+            m_out, c_out = transfer_slice(cfg, shift, max_seeds)
+            continue
+        if any(s.truncated for s in strands) and m_out is not None:
+            # The sliced OUTPUT was too small for the pair's valid seeds
+            # or clusters: refetch full-size.  Checked BEFORE the pinned
+            # break so a pinned run never hands sliced seed arrays to
+            # chains whose c_first indices exceed the slice.
+            log.warning(
+                "sliced transfer overflow (m_out=%s); refetching full", m_out
+            )
+            m_out = c_out = None
             continue
         if n_runs <= m_compute or max_seeds >= cfg.max_seeds_cap:
             if any(s.truncated for s in strands):
-                # The compute bucket fits but the sliced OUTPUT didn't:
-                # refetch full-size (rare; seed-dense input).
-                import logging
-
-                logging.getLogger("paramugsy.align").warning(
-                    "sliced transfer overflow (m_out=%s); refetching full",
-                    m_out,
+                # Full-size output and still truncated: the CLUSTER
+                # summary bucket itself overflowed (n_clusters >
+                # max_clusters).  No refetch can change that — keep the
+                # heaviest summaries (the pre-r5 behavior) and say so.
+                log.warning(
+                    "cluster bucket overflow (max_clusters=%d); keeping "
+                    "the first summaries", cfg.max_clusters,
                 )
-                m_out = c_out = None
-                continue
             break
         if cfg.pin_max_seeds is not None:
             # Pinned bucket: never recompile.  Truncation keeps the
             # longest-run prefix of the sorted join; log it and move on.
-            import logging
-
-            logging.getLogger("paramugsy.align").warning(
+            log.warning(
                 "seed bucket pinned at %d but %d merged runs; truncating",
                 max_seeds, n_runs,
             )
@@ -636,7 +644,7 @@ def align_pairs_batch(
         m_out, c_out = transfer_slice(cfg, shift, max_seeds)
         from paramugsy_tpu.ops import engines
 
-        engines.record_seedcluster(len(idxs))
+        engines.record_seedcluster(B_pad)  # rows dispatched, incl. padding
         packed = np.asarray(
             seed_cluster_both_packed_batch(
                 refs, queries, q_lens,
@@ -1151,22 +1159,23 @@ def filter_colinear(entries: list[DeltaEntry]) -> list[DeltaEntry]:
                 t -= t & -t
             return sc, idx
 
-        from bisect import bisect_left, insort
+        import heapq
+        from bisect import bisect_left
 
         score = [0] * n
         parent = [-1] * n
-        pending: list[tuple[int, int]] = []  # (ref_end, entry) awaiting sweep
+        pending: list[tuple[int, int]] = []  # (ref_end, entry) min-heap
         for i in order:
             rs = cand[i].ref_range.abs().start
             while pending and pending[0][0] < rs:
-                _, j = pending.pop(0)
+                _, j = heapq.heappop(pending)
                 update(pos[qe[j]], score[j], j)
             # best predecessor with query end < qs[i]
             t = bisect_left(coords, qs[i])  # coords[:t] < qs[i]
             best_sc, best_j = query(t)
             score[i] = cand[i].ref_range.length + best_sc
             parent[i] = best_j
-            insort(pending, (cand[i].ref_range.abs().end, i))
+            heapq.heappush(pending, (cand[i].ref_range.abs().end, i))
         if not n:
             return []
         i = max(range(n), key=lambda x: score[x])

@@ -269,6 +269,8 @@ def sharded_genome_pair_deltas(
             transfer_slice,
         )
 
+        from paramugsy_tpu.ops.seeding import _slice_compaction_default
+
         max_seeds = initial_max_seeds(cfg, rb, qb)
         shift = resolve_sample_shift(cfg, rb, qb)
         m_out, c_out = transfer_slice(cfg, shift, max_seeds)
@@ -279,6 +281,9 @@ def sharded_genome_pair_deltas(
             min_match=cfg.min_match, band=cfg.band,
             max_gap=cfg.max_gap, max_clusters=cfg.max_clusters,
             sample_shift=shift, m_out=m_out, c_out=c_out,
+            # Resolved OUTSIDE the jit trace, like the single-chip paths:
+            # the env override must take effect per call.
+            compact_slice=_slice_compaction_default(),
         )
         sh = NamedSharding(mesh, P("pairs"))
         _phase_barrier("pair-dispatch")

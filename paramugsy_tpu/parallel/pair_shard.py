@@ -45,6 +45,7 @@ def make_sharded_packed_pair_step(
     sample_shift: int = 0,
     m_out: int | None = None,
     c_out: int | None = None,
+    compact_slice: bool | None = None,
     gather: bool = False,
 ):
     """Jitted step: [B, N] pair batches sharded over ``pairs`` -> packed
@@ -67,7 +68,7 @@ def make_sharded_packed_pair_step(
         k=k, max_seeds=max_seeds, unique_in_query=unique_in_query,
         min_match=min_match, band=band, max_gap=max_gap,
         max_clusters=max_clusters, sample_shift=sample_shift,
-        m_out=m_out, c_out=c_out,
+        m_out=m_out, c_out=c_out, compact_slice=compact_slice,
     )
 
     def shard_fn(refs, queries, q_lens):

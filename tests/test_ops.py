@@ -775,3 +775,22 @@ class TestTransferSliceOverflow:
             (e.ref_range, e.query_range, e.ref_gaps, e.query_gaps)
             for e in want
         ]
+
+    def test_cluster_bucket_overflow_terminates(self):
+        """Full-size output that is still 'truncated' (the cluster-summary
+        bucket itself overflowed) must break with the top summaries, not
+        refetch forever (code-review r5: the refetch branch must only
+        fire for the m_out/c_out slice)."""
+        import paramugsy_tpu.ops.align_pair as ap
+
+        rng = np.random.default_rng(3)
+        n = 60_000
+        ref = rng.integers(0, 4, size=n).astype(np.int8)
+        q = ref.copy()
+        m = rng.random(n) < 0.01
+        q[m] = ((q[m] + 1) % 4).astype(np.int8)
+        cfg = ap.AlignConfig(
+            seed_sample_shift=2, seed_merge_gap=4, max_clusters=8
+        )
+        got = ap.align_pair(ref, q, "r", "q", cfg)  # must terminate
+        assert isinstance(got, list)
