@@ -202,3 +202,45 @@ class TestWavefrontKernel:
         assert len(many) == 12
         for (a, b), got in zip(segs, many):
             assert path_score(a, b, *got) == brute_nw(a, b)
+
+    def test_device_tb_bitmap_path_interpret(self):
+        """A pair long enough to enable the bitmap-jump traceback
+        (steps16 % 256 == 0) must reproduce the host traceback exactly —
+        the tiny cases above all run the word-at-a-time fallback, so
+        without this the jump arithmetic is only exercised on hardware
+        (where bench_device_dp asserts equality every round)."""
+        from paramugsy_tpu.ops.pallas_extend import (
+            _device_stream_inputs,
+            _expand_streams,
+            _runs_of_path_words,
+            traceback_wavefront,
+            wavefront_dp,
+            wavefront_dp_device_tb,
+        )
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(8)
+        la = 2000
+        a = rng.integers(0, 4, size=la).astype(np.int8)
+        b = np.delete(a, rng.choice(la, 6, replace=False)).copy()
+        m = rng.random(len(b)) < 0.02
+        b[m] = ((b[m] + 1) % 4).astype(np.int8)
+        pairs = [(a, b)] * 8
+        bucket = 4096  # >= la + lb steps; steps16 = 256 enables the bitmap
+        assert (bucket // 16) % 256 == 0 and bucket >= la + len(b)
+        A8, B8, Aw, Bw = _device_stream_inputs(pairs, bucket, 8, 256)
+        args = _expand_streams(
+            *map(jnp.asarray, (A8, B8, Aw, Bw)), steps=bucket, width=256
+        )
+        lens = jnp.asarray(np.array([(len(a), len(b))] * 8, np.int32))
+        buf = np.asarray(
+            wavefront_dp_device_tb(
+                *args, lens, width=256, chunk=128, batch=8, interpret=True
+            )
+        )
+        dirs = np.asarray(
+            wavefront_dp(*args, width=256, chunk=128, batch=8, interpret=True)
+        )
+        want = traceback_wavefront(dirs[:, 0, :], la, len(b), 256)
+        got = _runs_of_path_words(buf[0, 1:], int(buf[0, 0]))
+        assert got == want
